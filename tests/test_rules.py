@@ -1,0 +1,87 @@
+"""Rule-string parsing and LUT packing vs the reference's rule compiler
+(main_pathtraced.js:554-622)."""
+
+import numpy as np
+
+from cellularautomatons3d_tpu.models.rules import (
+    RuleSet,
+    parse_rule_string,
+    counts_to_mask,
+    mask_to_counts,
+)
+
+
+def test_simple_list():
+    assert parse_rule_string("1,3") == [1, 3]
+
+
+def test_range():
+    assert parse_rule_string("0-6") == [0, 1, 2, 3, 4, 5, 6]
+
+
+def test_mixed_list_and_range():
+    assert parse_rule_string("0-6,9") == [0, 1, 2, 3, 4, 5, 6, 9]
+    assert parse_rule_string("1,2-5,7") == [1, 2, 3, 4, 5, 7]
+
+
+def test_clamp_to_26():
+    # "27" clamps to 26 (main_pathtraced.js:569-575) — the disabled-group
+    # sentinel used by the default edges/corners rules.
+    assert parse_rule_string("27") == [26]
+    assert parse_rule_string("30,99") == [26, 26]
+    # Ranges clamp per emitted value.
+    assert parse_rule_string("25-28") == [25, 26, 26, 26]
+
+
+def test_whitespace_stripped():
+    assert parse_rule_string(" 1 , 3 ") == [1, 3]
+    assert parse_rule_string("0 - 3") == [0, 1, 2, 3]
+
+
+def test_unparsable_components_skipped():
+    # parseInt("") is NaN → NaN index write is a typed-array no-op.
+    assert parse_rule_string("") == []
+    assert parse_rule_string("a,3") == [3]
+    assert parse_rule_string("1,,3") == [1, 3]
+    # A leading '-' makes range mode with a NaN start → empty.
+    assert parse_rule_string("-5") == []
+    assert parse_rule_string("3-") == []
+
+
+def test_js_parseint_prefix():
+    # parseInt takes the leading integer prefix: "3x" → 3.
+    assert parse_rule_string("3x") == [3]
+
+
+def test_lut_arrays_layout():
+    rs = RuleSet.from_strings(born="1,3", survive="0-6")
+    born, survive = rs.lut_arrays()
+    assert born.shape == (81,) and born.dtype == np.uint32
+    # Main group at offset 0.
+    assert born[1] == 1 and born[3] == 1 and born[0] == 0 and born[4] == 0
+    assert survive[:7].tolist() == [1] * 7 and survive[7] == 0
+    # Default edges/corners groups: "27"→26 at offsets 27/54
+    # (main_pathtraced.js:129-132,155-159).
+    assert born[27 + 26] == 1 and born[54 + 26] == 1
+    assert survive[27 + 26] == 1 and survive[54 + 26] == 1
+    assert born[27:53].sum() == 0 and born[54:80].sum() == 0
+
+
+def test_masks_roundtrip():
+    m = counts_to_mask([0, 3, 26])
+    assert mask_to_counts(m) == (0, 3, 26)
+    assert counts_to_mask([-1, 27]) == 0  # out-of-range dropped
+
+
+def test_mixed_groups_active_detection():
+    default = RuleSet.from_strings()
+    assert not default.mixed_groups_active()  # "27" sentinel disables both
+    rs = RuleSet.from_strings(born_edges="4")
+    assert rs.mixed_groups_active()
+
+
+def test_default_ruleset_matches_reference():
+    rs = RuleSet.from_strings()
+    assert rs.born == (1, 3)
+    assert rs.survive == (0, 1, 2, 3, 4, 5, 6)
+    assert rs.born_edges == (26,)
