@@ -22,6 +22,7 @@ from .models import (
     PRESETS,
     preset_config,
 )
+from .engine import Engine
 from .ops import (
     pack_grid,
     unpack_grid,
@@ -36,6 +37,7 @@ from .ops import (
 __version__ = "0.1.0"
 
 __all__ = [
+    "Engine",
     "EngineConfig",
     "LightConfig",
     "BoundaryMode",

@@ -1,0 +1,258 @@
+"""Engine: lifecycle, frame loop and reconfiguration.
+
+The TPU-native counterpart of the reference's host orchestrator
+(``MainModule``, main_pathtraced.js:96-1855), redesigned around functional
+state:
+
+* GPU buffers/bind groups/uniform arena → jnp arrays + kernel operands;
+* the rAF frame loop (main_pathtraced.js:1821-1854) → :meth:`tick`, with the
+  same semantics: render every frame, advance the CA when the accumulated
+  frame time crosses ``compute_step_duration_ms`` (main_pathtraced.js:1838-1847),
+  so the displayed state lags the computed one by ≤ 1 step;
+* ``_restartSim`` (main_pathtraced.js:624-637) → :meth:`restart`: deferred
+  restart-bound values applied, counters zeroed, rules recompiled (= new
+  trace-time constants), state reseeded;
+* live parameter edits (main_pathtraced.js:639-650) → :meth:`set`, which
+  defers restart-bound fields exactly like ``applyOnRestart``;
+* checkpoint/resume (absent in the reference, SURVEY.md §5) →
+  :meth:`save`/:meth:`load` of the packed grid + config + counters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .models.automaton import AutomatonSpec
+from .ops import packing
+from .ops.ca_step import step_packed, step_packed_multistate
+from .render.camera import CameraRig
+from .render.renderer import (
+    RenderHistory,
+    RenderParams,
+    RenderStatic,
+    init_history,
+    render_frame,
+)
+from .utils.config import EngineConfig
+
+__all__ = ["Engine"]
+
+
+class Engine:
+    """A running automaton + renderer with carried temporal state."""
+
+    def __init__(self, config: EngineConfig | None = None, **overrides):
+        if config is None:
+            config = EngineConfig(**overrides)
+        elif overrides:
+            config = config.replace(**overrides)
+        self.config = config
+        self.camera = CameraRig()
+        self._pending_restart: list[tuple[str, object]] = []
+        self._time_ms = 0.0
+        self._build()
+
+    # ------------------------------------------------------------------ #
+    # lifecycle
+    # ------------------------------------------------------------------ #
+    def _build(self):
+        cfg = self.config
+        self.spec = AutomatonSpec.from_config(cfg)
+        self.render_static = RenderStatic(
+            width=cfg.width,
+            height=cfg.height,
+            grid_size=cfg.grid_size,
+            depth_samples=int(cfg.depth_samples),
+            shadow_samples=int(cfg.shadow_samples),
+        )
+        self.simulation_step = 0
+        self._frame_duration = 0.0
+        self.history = init_history(cfg.width, cfg.height)
+        self._seed_state()
+
+    def _seed_state(self):
+        cfg = self.config
+        if cfg.random_initial_state:
+            dense = packing.seed_random_block(cfg.grid_size, rng=cfg.seed)
+        else:
+            dense = packing.seed_center(cfg.grid_size)
+        self.set_state_dense(dense)
+
+    # ------------------------------------------------------------------ #
+    # state accessors
+    # ------------------------------------------------------------------ #
+    def set_state_dense(self, dense: np.ndarray):
+        """Load a dense ``uint8[Z, Y, X]`` age grid as the current state."""
+        nbits = self.spec.age_bits
+        if self.spec.total_states == 2:
+            self.state = jnp.asarray(packing.pack_grid(dense))
+        else:
+            planes = [packing.pack_grid((dense >> i) & 1) for i in range(nbits)]
+            self.state = jnp.asarray(np.stack(planes))
+
+    def state_dense(self) -> np.ndarray:
+        """Current state as dense ``uint8[Z, Y, X]`` ages."""
+        s = np.asarray(self.state)
+        if self.spec.total_states == 2:
+            return packing.unpack_grid(s)
+        return sum(
+            packing.unpack_grid(s[i]).astype(np.uint8) << i
+            for i in range(s.shape[0])
+        )
+
+    def _visibility_plane(self) -> jnp.ndarray:
+        """Packed occupancy for the renderer: any cell with age ≥ 1."""
+        if self.spec.total_states == 2:
+            return self.state
+        vis = self.state[0]
+        for i in range(1, self.state.shape[0]):
+            vis = vis | self.state[i]
+        return vis
+
+    # ------------------------------------------------------------------ #
+    # simulation
+    # ------------------------------------------------------------------ #
+    def step(self, n: int = 1):
+        """Advance the CA ``n`` generations."""
+        for _ in range(n):
+            if self.spec.total_states == 2:
+                self.state = step_packed(self.state, self.spec)
+            else:
+                self.state = step_packed_multistate(self.state, self.spec)
+            self.simulation_step += 1
+        return self
+
+    # ------------------------------------------------------------------ #
+    # rendering
+    # ------------------------------------------------------------------ #
+    def _light_position(self) -> np.ndarray:
+        light = self.config.light
+        x, y, z = light.position
+        if light.animate:
+            # main_pathtraced.js:1752-1760 (performance.now()*0.0007 orbit).
+            t = self._time_ms * 0.0007
+            y = np.sin(t) * light.orbit_distance
+            x = np.cos(t) * light.orbit_distance
+        return np.array([x, y, z], dtype=np.float32)
+
+    def render_params(self) -> RenderParams:
+        cfg = self.config
+        view, prev_view, _, prev_proj_view = self.camera.matrices(
+            cfg.width, cfg.height
+        )
+        return RenderParams(
+            view_mat=jnp.asarray(view),
+            prev_view_mat=jnp.asarray(prev_view),
+            prev_proj_view=jnp.asarray(prev_proj_view),
+            elapsed_time=jnp.float32(self._time_ms * 1e-4),
+            cell_size=jnp.float32(cfg.cell_size),
+            temporal_alpha=jnp.float32(cfg.temporal_alpha),
+            gamma=jnp.float32(cfg.gamma),
+            roughness=jnp.float32(cfg.roughness),
+            base_reflectivity=jnp.asarray(cfg.base_reflectivity, jnp.float32),
+            material_color=jnp.asarray(cfg.material_color, jnp.float32),
+            light_pos=jnp.asarray(self._light_position()),
+            light_magnitude=jnp.float32(cfg.light.magnitude),
+            show_depth_overlay=jnp.float32(1.0 if cfg.show_depth_overlay else 0.0),
+        )
+
+    def render(self, dt_ms: float = 16.667) -> jnp.ndarray:
+        """Render one frame; advances the frame clock and camera history."""
+        self._time_ms += dt_ms
+        params = self.render_params()
+        frame, self.history = render_frame(
+            self.render_static, self._visibility_plane(), params, self.history
+        )
+        self.camera.end_frame()
+        return frame
+
+    def tick(self, dt_ms: float = 16.667) -> jnp.ndarray:
+        """One frame-loop iteration with the reference's cadence: render
+        first, then step the CA if the sim timer fired
+        (main_pathtraced.js:1833-1850)."""
+        self._frame_duration += dt_ms
+        frame = self.render(dt_ms)
+        if self._frame_duration >= self.config.compute_step_duration_ms:
+            self.step()
+            self._frame_duration = 0.0
+        return frame
+
+    def run(self, frames: int, dt_ms: float = 16.667, sink=None):
+        """Run the frame loop for ``frames`` iterations; optionally feed
+        each frame to ``sink(frame_idx, frame)``."""
+        frame = None
+        for i in range(frames):
+            frame = self.tick(dt_ms)
+            if sink is not None:
+                sink(i, frame)
+        return frame
+
+    # ------------------------------------------------------------------ #
+    # reconfiguration (the UI input / restart paths)
+    # ------------------------------------------------------------------ #
+    def set(self, name: str, value):
+        """Set a parameter by config-field name.  Live fields apply
+        immediately; restart-bound fields are deferred until
+        :meth:`restart` (main_pathtraced.js:639-650)."""
+        if name in EngineConfig.RESTART_FIELDS:
+            self._pending_restart.append((name, value))
+        else:
+            if "." in name:  # e.g. "light.magnitude"
+                head, tail = name.split(".", 1)
+                obj = getattr(self.config, head)
+                setattr(obj, tail, value)
+            else:
+                self.config = self.config.replace(**{name: value})
+        return self
+
+    @property
+    def restart_required(self) -> bool:
+        return bool(self._pending_restart)
+
+    def restart(self):
+        """Apply deferred values, recompile rules, reseed state
+        (main_pathtraced.js:624-637)."""
+        updates = dict(self._pending_restart)
+        self._pending_restart.clear()
+        if updates:
+            self.config = self.config.replace(**updates)
+        self._time_ms = 0.0
+        self._build()
+        return self
+
+    # ------------------------------------------------------------------ #
+    # checkpoint / resume (new capability, SURVEY.md §5)
+    # ------------------------------------------------------------------ #
+    def save(self, path: str):
+        np.savez_compressed(
+            path,
+            state=np.asarray(self.state),
+            simulation_step=self.simulation_step,
+            time_ms=self._time_ms,
+            history_color=np.asarray(self.history.color),
+            history_depth=np.asarray(self.history.depth),
+            view_mat=self.camera.view_mat,
+            prev_view_mat=self.camera.prev_view_mat,
+            config=json.dumps(dataclasses.asdict(self.config)),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "Engine":
+        data = np.load(path, allow_pickle=False)
+        cfg = EngineConfig(**json.loads(str(data["config"])))
+        eng = cls(cfg)
+        eng.state = jnp.asarray(data["state"])
+        eng.simulation_step = int(data["simulation_step"])
+        eng._time_ms = float(data["time_ms"])
+        eng.history = RenderHistory(
+            color=jnp.asarray(data["history_color"]),
+            depth=jnp.asarray(data["history_depth"]),
+        )
+        eng.camera.view_mat = data["view_mat"].astype(np.float32)
+        eng.camera.prev_view_mat = data["prev_view_mat"].astype(np.float32)
+        return eng

@@ -31,7 +31,14 @@ from ..models.automaton import AutomatonSpec
 from ..types import BoundaryMode
 from . import bitplane
 
-__all__ = ["step_packed", "step_packed_multistate", "shift_packed", "make_step_fn"]
+__all__ = [
+    "step_packed",
+    "step_packed_multistate",
+    "shift_packed",
+    "make_step_fn",
+    "fires_plane",
+    "decay_update",
+]
 
 _U32 = jnp.uint32
 
@@ -106,9 +113,10 @@ def _check_shape(plane, spec: AutomatonSpec):
         )
 
 
-def _fires_plane(alive_plane, spec: AutomatonSpec):
+def fires_plane(alive_plane, spec: AutomatonSpec):
     """OR over rule groups of the bit-sliced LUT evaluation
-    (compute_clustered.wgsl:224-232)."""
+    (compute_clustered.wgsl:224-232): 1-bits where the cell is alive next
+    generation (for binary CA) / where born-or-survive fired (multi-state)."""
     fires = None
     for offs, born_mask, survive_mask in spec.active_groups():
         shifted = [shift_packed(alive_plane, off, spec.boundary) for off in offs]
@@ -122,19 +130,49 @@ def _fires_plane(alive_plane, spec: AutomatonSpec):
     return fires
 
 
-@functools.partial(jax.jit, static_argnums=1, donate_argnums=0)
+_fires_plane = fires_plane  # internal alias
+
+
+def decay_update(planes, alive, dead, fires, total_states: int):
+    """Pointwise Generations age update from the fires plane (bit-sliced).
+
+    planes: list of age bit-planes; alive/dead: membership planes;
+    fires: born-or-survive plane.  Returns the next age planes.
+    """
+    nbits = len(planes)
+    one_planes = [~jnp.zeros_like(planes[0])] + [
+        jnp.zeros_like(planes[0]) for _ in range(nbits - 1)
+    ]
+    zero_planes = [jnp.zeros_like(planes[0]) for _ in range(nbits)]
+    if total_states == 2:
+        return [fires]
+    start_dying = [
+        jnp.zeros_like(planes[0]),
+        ~jnp.zeros_like(planes[0]),
+    ] + [jnp.zeros_like(planes[0]) for _ in range(nbits - 2)]
+    aged = bitplane.increment_planes(planes)
+    is_last = bitplane.eq_const(planes, total_states - 1, nbits)
+    aged = bitplane.select_planes(is_last, zero_planes, aged)
+    from_alive = bitplane.select_planes(fires, one_planes, start_dying)
+    from_dead = bitplane.select_planes(fires, one_planes, zero_planes)
+    return bitplane.select_planes(
+        dead, from_dead, bitplane.select_planes(alive, from_alive, aged)
+    )
+
+
+@functools.partial(jax.jit, static_argnums=1)
 def step_packed(packed: jnp.ndarray, spec: AutomatonSpec) -> jnp.ndarray:
     """One generation, binary states, packed ``uint32[W, Z, Y]``.
 
     The ping-pong buffer discipline of the reference
-    (main_pathtraced.js:1580-1609) is replaced by functional semantics with
-    buffer donation — XLA reuses the input buffer in place.
+    (main_pathtraced.js:1580-1609) is replaced by functional semantics
+    (``new = step(old)``); fused multi-step loops donate buffers internally.
     """
     _check_shape(packed, spec)
     return _fires_plane(packed, spec)
 
 
-@functools.partial(jax.jit, static_argnums=1, donate_argnums=0)
+@functools.partial(jax.jit, static_argnums=1)
 def step_packed_multistate(age_planes: jnp.ndarray, spec: AutomatonSpec) -> jnp.ndarray:
     """One generation, Generations-style ages, ``uint32[B, W, Z, Y]``."""
     _check_shape(age_planes, spec)
@@ -144,34 +182,8 @@ def step_packed_multistate(age_planes: jnp.ndarray, spec: AutomatonSpec) -> jnp.
 
     alive = bitplane.eq_const(planes, 1, nbits)
     dead = bitplane.eq_const(planes, 0, nbits)
-    fires = _fires_plane(alive, spec)
-
-    one_planes = [~jnp.zeros_like(planes[0])] + [
-        jnp.zeros_like(planes[0]) for _ in range(nbits - 1)
-    ]
-    zero_planes = [jnp.zeros_like(planes[0]) for _ in range(nbits)]
-
-    if s == 2:
-        return jnp.stack([fires])
-
-    # age == 1 and not survive → 2 (start dying)
-    start_dying = [
-        jnp.zeros_like(planes[0]),
-        ~jnp.zeros_like(planes[0]),
-    ] + [jnp.zeros_like(planes[0]) for _ in range(nbits - 2)]
-
-    # dying cells (age ≥ 2): age+1, wrapping to 0 after S-1
-    aged = bitplane.increment_planes(planes)
-    is_last = bitplane.eq_const(planes, s - 1, nbits)
-    aged = bitplane.select_planes(is_last, zero_planes, aged)
-
-    from_alive = bitplane.select_planes(fires, one_planes, start_dying)
-    from_dead = bitplane.select_planes(fires, one_planes, zero_planes)
-
-    out = bitplane.select_planes(
-        dead, from_dead, bitplane.select_planes(alive, from_alive, aged)
-    )
-    return jnp.stack(out)
+    fires = fires_plane(alive, spec)
+    return jnp.stack(decay_update(planes, alive, dead, fires, s))
 
 
 def make_step_fn(spec: AutomatonSpec):

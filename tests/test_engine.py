@@ -1,0 +1,105 @@
+"""Engine lifecycle tests: frame-loop cadence, live/restart parameter split,
+checkpoint round trip (SURVEY.md §3.2, §3.3, §5)."""
+
+import numpy as np
+import pytest
+
+import cellularautomatons3d_tpu as ca
+
+
+def small_engine(**kw):
+    kw.setdefault("grid_size", 32)
+    kw.setdefault("width", 64)
+    kw.setdefault("height", 48)
+    kw.setdefault("depth_samples", 15)
+    kw.setdefault("shadow_samples", 8)
+    return ca.Engine(ca.EngineConfig(**kw))
+
+
+def test_initial_state_center_seed():
+    eng = small_engine()
+    dense = eng.state_dense()
+    assert dense.sum() == 1
+    c = 32 // 2 - 1
+    assert dense[c, c, c] == 1
+
+
+def test_step_advances_counter_and_state():
+    eng = small_engine()
+    eng.step(3)
+    assert eng.simulation_step == 3
+    assert eng.state_dense().sum() > 1
+
+
+def test_tick_cadence():
+    # Default step duration 48 ms at 16.667 ms frames: step fires on the
+    # 3rd frame (accumulated 50 ms ≥ 48), as in main_pathtraced.js:1838-1847.
+    eng = small_engine()
+    eng.tick()
+    eng.tick()
+    assert eng.simulation_step == 0
+    eng.tick()
+    assert eng.simulation_step == 1
+
+
+def test_render_returns_frame_and_updates_history():
+    eng = small_engine()
+    eng.step(6)
+    f = np.asarray(eng.render())
+    assert f.shape == (48, 64, 3)
+    assert np.isfinite(f).all()
+    assert f.max() > 0  # growth visible from the default camera
+    assert np.asarray(eng.history.depth).max() > 0
+
+
+def test_live_vs_restart_params():
+    eng = small_engine()
+    eng.set("gamma", 2.4)
+    assert eng.config.gamma == 2.4 and not eng.restart_required
+    eng.set("light.magnitude", 7.0)
+    assert eng.config.light.magnitude == 7.0
+    eng.set("born", "4")
+    assert eng.restart_required
+    assert eng.config.born == "1,3"  # deferred, like applyOnRestart
+    eng.step(2)
+    eng.restart()
+    assert eng.config.born == "4"
+    assert eng.simulation_step == 0
+    assert eng.state_dense().sum() == 1  # reseeded
+
+
+def test_multistate_engine_runs_and_renders():
+    eng = small_engine(neighbourhood="moore", born="4", survive="4", total_states=5)
+    eng.step(2)
+    dense = eng.state_dense()
+    assert dense.max() >= 1
+    f = np.asarray(eng.render())
+    assert np.isfinite(f).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    eng = small_engine()
+    eng.step(5)
+    eng.render()
+    p = str(tmp_path / "ckpt.npz")
+    eng.save(p)
+    eng2 = ca.Engine.load(p)
+    assert eng2.simulation_step == 5
+    np.testing.assert_array_equal(eng2.state_dense(), eng.state_dense())
+    np.testing.assert_array_equal(
+        np.asarray(eng2.history.color), np.asarray(eng.history.color)
+    )
+    # Resumed engine continues identically.
+    eng.step(2)
+    eng2.step(2)
+    np.testing.assert_array_equal(eng2.state_dense(), eng.state_dense())
+
+
+def test_camera_rig_moves_camera():
+    eng = small_engine()
+    pos0 = eng.camera.view_mat[:3, 3].copy()
+    eng.camera.translate((0, 0, -1), 0.5)  # W key for half a second
+    pos1 = eng.camera.view_mat[:3, 3]
+    assert pos1[2] < pos0[2]
+    eng.camera.wheel(-100)  # speed up
+    assert eng.camera.translation_speed_mul > 0.2

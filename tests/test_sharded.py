@@ -1,0 +1,87 @@
+"""Sharded halo-exchange step vs the single-device step on a virtual
+8-device CPU mesh (SURVEY.md §4 item 5)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cellularautomatons3d_tpu.models.automaton import AutomatonSpec
+from cellularautomatons3d_tpu.ops.ca_step import step_packed, step_packed_multistate
+from cellularautomatons3d_tpu.ops.packing import pack_grid, unpack_grid
+from cellularautomatons3d_tpu.parallel.sharded import (
+    make_mesh,
+    make_sharded_step,
+    shard_state,
+)
+from cellularautomatons3d_tpu.utils.config import BoundaryMode
+
+N = 32
+
+
+def random_packed(seed=0, p=0.3):
+    rng = np.random.default_rng(seed)
+    return pack_grid((rng.random((N, N, N)) < p).astype(np.uint8))
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+@pytest.mark.parametrize("boundary", BoundaryMode.ALL)
+def test_sharded_step_matches_single_device(mesh, boundary):
+    spec = AutomatonSpec.from_rule_strings(
+        grid_size=N, neighbourhood="moore", born="4,5", survive="2-6",
+        boundary=boundary,
+    )
+    packed = random_packed(seed=hash(boundary) % 2**31)
+    want = np.asarray(step_packed(jnp.asarray(packed), spec))
+
+    step = make_sharded_step(spec, mesh)
+    sharded = shard_state(jnp.asarray(packed), mesh)
+    got = np.asarray(step(sharded))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_step_multiple_generations(mesh):
+    spec = AutomatonSpec.from_rule_strings(grid_size=N)
+    dense = np.zeros((N, N, N), np.uint8)
+    dense[N // 2 - 1, N // 2 - 1, N // 2 - 1] = 1
+    packed = jnp.asarray(pack_grid(dense))
+
+    step = make_sharded_step(spec, mesh)
+    sharded = shard_state(packed, mesh)
+    ref = packed
+    for _ in range(8):
+        ref = step_packed(ref, spec)
+        sharded = step(sharded)
+    np.testing.assert_array_equal(np.asarray(sharded), np.asarray(ref))
+    # Growth must have crossed shard boundaries by step 8 (radius 8 > 4-wide
+    # slabs) — otherwise the halo exchange was never exercised.
+    assert unpack_grid(np.asarray(sharded)).sum() > 100
+
+
+def test_sharded_multistate(mesh):
+    spec = AutomatonSpec.from_rule_strings(
+        grid_size=N, neighbourhood="moore", born="4", survive="4",
+        total_states=5,
+    )
+    rng = np.random.default_rng(3)
+    dense = rng.integers(0, 5, size=(N, N, N)).astype(np.uint8)
+    planes = jnp.asarray(
+        np.stack([pack_grid((dense >> i) & 1) for i in range(spec.age_bits)])
+    )
+    want = np.asarray(step_packed_multistate(planes, spec))
+
+    step = make_sharded_step(spec, mesh)
+    got = np.asarray(step(shard_state(planes, mesh)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_uneven_grid_rejected(mesh):
+    spec = AutomatonSpec.from_rule_strings(grid_size=N)
+    bad_mesh = make_mesh(3)
+    with pytest.raises(ValueError):
+        make_sharded_step(spec, bad_mesh)
