@@ -38,6 +38,11 @@ from .render.renderer import (
     init_history,
     render_frame,
 )
+from .render.renderer_fast import (
+    FastHistory,
+    init_fast_history,
+    render_frame_fast,
+)
 from .utils.config import EngineConfig
 
 __all__ = ["Engine"]
@@ -72,7 +77,10 @@ class Engine:
         )
         self.simulation_step = 0
         self._frame_duration = 0.0
-        self.history = init_history(cfg.width, cfg.height)
+        if cfg.pipeline == "fast":
+            self.history = init_fast_history(cfg.width, cfg.height)
+        else:
+            self.history = init_history(cfg.width, cfg.height)
         self._seed_state()
 
     def _seed_state(self):
@@ -165,9 +173,27 @@ class Engine:
         """Render one frame; advances the frame clock and camera history."""
         self._time_ms += dt_ms
         params = self.render_params()
-        frame, self.history = render_frame(
-            self.render_static, self._visibility_plane(), params, self.history
-        )
+        if self.config.pipeline == "fast":
+            camera_static = bool(
+                np.array_equal(self.camera.view_mat, self.camera.prev_view_mat)
+            )
+            frame, _, self.history = render_frame_fast(
+                self.render_static,
+                self._visibility_plane(),
+                params,
+                self.history,
+                camera_static,
+            )
+        else:
+            multistate = self.spec.total_states > 2
+            frame, self.history = render_frame(
+                self.render_static,
+                self._visibility_plane(),
+                params,
+                self.history,
+                self.state if multistate else None,
+                self.spec.total_states,
+            )
         self.camera.end_frame()
         return frame
 
@@ -229,16 +255,25 @@ class Engine:
     # checkpoint / resume (new capability, SURVEY.md §5)
     # ------------------------------------------------------------------ #
     def save(self, path: str):
+        if isinstance(self.history, FastHistory):
+            hist = dict(
+                history_color=np.asarray(self.history.color),
+                history_idx=np.asarray(self.history.hit_idx),
+            )
+        else:
+            hist = dict(
+                history_color=np.asarray(self.history.color),
+                history_depth=np.asarray(self.history.depth),
+            )
         np.savez_compressed(
             path,
             state=np.asarray(self.state),
             simulation_step=self.simulation_step,
             time_ms=self._time_ms,
-            history_color=np.asarray(self.history.color),
-            history_depth=np.asarray(self.history.depth),
             view_mat=self.camera.view_mat,
             prev_view_mat=self.camera.prev_view_mat,
             config=json.dumps(dataclasses.asdict(self.config)),
+            **hist,
         )
 
     @classmethod
@@ -249,10 +284,16 @@ class Engine:
         eng.state = jnp.asarray(data["state"])
         eng.simulation_step = int(data["simulation_step"])
         eng._time_ms = float(data["time_ms"])
-        eng.history = RenderHistory(
-            color=jnp.asarray(data["history_color"]),
-            depth=jnp.asarray(data["history_depth"]),
-        )
+        if "history_idx" in data:
+            eng.history = FastHistory(
+                color=jnp.asarray(data["history_color"]),
+                hit_idx=jnp.asarray(data["history_idx"]),
+            )
+        else:
+            eng.history = RenderHistory(
+                color=jnp.asarray(data["history_color"]),
+                depth=jnp.asarray(data["history_depth"]),
+            )
         eng.camera.view_mat = data["view_mat"].astype(np.float32)
         eng.camera.prev_view_mat = data["prev_view_mat"].astype(np.float32)
         return eng

@@ -1,0 +1,456 @@
+"""Fast path: fused Pallas render kernel (two-level DDA + empty-space skip).
+
+This is the TPU-native redesign of the fragment shader's hot loop — not a
+translation.  Where pathtraced_fragment_clustered.wgsl:682-741 marches each
+pixel with 35 stochastic samples and per-sample random buffer loads (which
+on TPU would be 70M+ unvectorizable gathers per 1080p frame), this kernel:
+
+* keeps the whole bit-packed volume (≤ 2 MiB at 256³) resident in VMEM;
+* traverses **exact z-plane DDA** columns instead of stochastic samples —
+  deterministic first hits, no noise to accumulate away;
+* skips empty space with the 8× coarse occupancy mip (`ops/occupancy.py`)
+  — one 32-entry lane-gather per coarse column — and only on occupied
+  blocks refines through the fine volume (the "per-cluster occupancy
+  skipping" the reference never implemented, SURVEY.md §5);
+* resolves shadows with a second exact DDA sweep toward the light
+  (replacing rayMarchShadow's 30 stochastic samples, wgsl:635-680) —
+  cell-exact occlusion including the visible-cube test and start-cell
+  exclusion (wgsl:665-674);
+* evaluates the identical Cook-Torrance BRDF (wgsl:537-633) on hit lanes.
+
+All data-dependent reads go through ``tpu.dynamic_gather`` (vreg-local
+``take_along_axis`` along lanes), with slab rows broadcast across
+sublanes; per-word fetches and the fine refinement are gated on scalar
+any-reductions so untouched chunks cost nothing.
+
+Known deviations from the reference renderer (use `renderer.py` for exact
+reference behaviour): exact DDA instead of the stochastic march (denser,
+noise-free sampling along z; rays nearly parallel to the z-planes probe
+only one (x, y) cell per crossed column); hard shadows without the
+stochastic start offset; temporal accumulation validates against the
+stored hit-cell id rather than a reprojected-depth cell lookup
+(equivalent for a static camera).
+
+Restrictions (v1): grid_size ≤ 256 (volume must fit in VMEM); pixel count
+padded to a multiple of 1024 by the wrapper.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["raytrace_tiles", "P_LEN", "pack_cam"]
+
+SUB, LANE = 64, 128  # tile block
+TILE = SUB * LANE
+
+# cam/params vector layout (f32)
+P_R00 = 0       # view rotation, row-major 3x3 (camera→world)
+P_O = 9         # camera origin xyz
+P_WIN = 12      # window w, h
+P_LIGHT = 14    # light pos xyz
+P_LMAG = 17     # light magnitude
+P_CELLMUL = 18  # visible-cube fraction (uCellSize)
+P_ROUGH = 19
+P_REFL = 20     # base reflectivity rgb
+P_MATC = 23     # material color rgb
+P_LEN = 32
+
+_F32 = jnp.float32
+_I32 = jnp.int32
+_U32 = jnp.uint32
+
+COT_HALF_FOV = 1.3032254  # 1/tan(37.5°), wgsl:69
+PI = 3.14159265359
+
+
+def _any(mask) -> jnp.ndarray:
+    return jnp.max(mask.astype(_I32)) > 0
+
+
+def _all(mask) -> jnp.ndarray:
+    return jnp.min(mask.astype(_I32)) > 0
+
+
+def _lane_gather(chunk_2d, idx):
+    """out[i, j] = chunk_2d[i, idx[i, j]] — vreg-local dynamic gather."""
+    return jnp.take_along_axis(chunk_2d, idx, axis=1)
+
+
+def _bcast_row(row_1xL):
+    # Mosaic only broadcasts a row across one vreg's sublanes (8 for 32-bit);
+    # wider tiles replicate by concatenation.
+    b = jnp.broadcast_to(row_1xL, (8, LANE))
+    if SUB == 8:
+        return b
+    return jnp.concatenate([b] * (SUB // 8), axis=0)
+
+
+def _normalize3(x, y, z):
+    inv = jax.lax.rsqrt(x * x + y * y + z * z)
+    return x * inv, y * inv, z * inv
+
+
+def pack_cam(view_mat, width, height, light_pos, light_magnitude, cell_size,
+             roughness, base_reflectivity, material_color):
+    """Host-side packing of the kernel's parameter vector."""
+    import numpy as np
+
+    cam = np.zeros((P_LEN,), np.float32)
+    cam[P_R00 : P_R00 + 9] = np.asarray(view_mat, np.float32)[:3, :3].reshape(-1)
+    cam[P_O : P_O + 3] = np.asarray(view_mat, np.float32)[:3, 3]
+    cam[P_WIN : P_WIN + 2] = (width, height)
+    cam[P_LIGHT : P_LIGHT + 3] = light_pos
+    cam[P_LMAG] = light_magnitude
+    cam[P_CELLMUL] = cell_size
+    cam[P_ROUGH] = roughness
+    cam[P_REFL : P_REFL + 3] = base_reflectivity
+    cam[P_MATC : P_MATC + 3] = material_color
+    return cam
+
+
+def _make_kernel(n: int, shadow: bool, width: int, height: int):
+    w_words = n // 32
+    nc = n // 8
+    y_chunks = max(1, n // LANE)  # fine slab lane chunks (Y padded to 128k)
+    inv_n = 1.0 / n
+    half = 0.5
+
+    def fetch_fine_bit(vol, k_plane: int, cx, cy, valid):
+        """Bit of cell (cx, cy, z=k_plane); vol VMEM ref [Z, C, 128]
+        (z-major, chunk-major; k_plane is a *static* unrolled plane index so
+        every load is a static lane-aligned slice).
+
+        Unconditional where-chain over the packed words: plain vector ops
+        beat scalar-gated branches on this hardware (a reduction + branch
+        costs ~hundreds of cycles; a gather is ~tens).
+        """
+        wsel = jax.lax.shift_right_logical(cx, 5)
+        yl = jnp.bitwise_and(cy, LANE - 1)
+        word = jnp.zeros((SUB, LANE), dtype=_U32)
+        for wi in range(w_words):
+            g = jnp.zeros((SUB, LANE), dtype=_U32)
+            for c in range(y_chunks):
+                row = _bcast_row(vol[k_plane, wi * y_chunks + c : wi * y_chunks + c + 1, :])
+                gc = _lane_gather(row, yl)
+                if y_chunks == 1:
+                    g = gc
+                else:
+                    g = jnp.where((cy // LANE) == c, gc, g)
+            word = jnp.where(wsel == wi, g, word)
+        bit = jnp.bitwise_and(
+            jax.lax.shift_right_logical(word, jnp.bitwise_and(cx, 31).astype(_U32)),
+            _U32(1),
+        )
+        return bit.astype(_I32)
+
+    def fetch_coarse_bit(row_b, bxc, byc, valid):
+        """Occupancy of coarse block (bxc, byc) in a pre-broadcast row."""
+        g = _lane_gather(row_b, jnp.clip(byc, 0, nc - 1))
+        bit = jnp.bitwise_and(
+            jax.lax.shift_right_logical(g, jnp.clip(bxc, 0, nc - 1).astype(_U32)),
+            _U32(1),
+        )
+        return (bit.astype(_I32) == 1) & valid
+
+    def sweep(vol, coarse, refs, ox, oy, oz, dx, dy, dz, t_start,
+              t_end, active, cell_half, exclude, accept_far: bool):
+        """Two-direction coarse→fine DDA, fully unrolled.
+
+        The coarse-column loop is a *python* loop: every plane index — and
+        therefore every VMEM access — is static.  Early exit is expressed
+        purely through pl.when predicates (a Mosaic while_loop costs ~2.3 µs
+        per iteration in loop machinery alone, dwarfing the actual work).
+
+        Returns (found, t_hit, hx, hy, hz).  ``accept_far``: primary accept
+        rule tN≤tF ∧ tF≥t_start (wgsl:722-724); else shadow rule tN≥0
+        (wgsl:669).
+        """
+        inv_dx = 1.0 / dx
+        inv_dy = 1.0 / dy
+        inv_dz = 1.0 / dz
+        found_ref, t_ref, hx_ref, hy_ref, hz_ref = refs
+
+        def probe_fine(k_plane: int, pass_active):
+            found = found_ref[:] == 1
+            ta = (k_plane * inv_n - half - oz) * inv_dz
+            tb = ((k_plane + 1) * inv_n - half - oz) * inv_dz
+            lo = jnp.maximum(jnp.minimum(ta, tb), t_start)
+            hi = jnp.minimum(jnp.maximum(ta, tb), t_end)
+            seg_ok = (lo < hi) & ~found & pass_active
+            tm = 0.5 * (lo + hi)
+            cx = jnp.clip(
+                jnp.floor((ox + tm * dx + half) * n), 0, n - 1
+            ).astype(_I32)
+            cy = jnp.clip(
+                jnp.floor((oy + tm * dy + half) * n), 0, n - 1
+            ).astype(_I32)
+            bit = fetch_fine_bit(vol, k_plane, cx, cy, seg_ok)
+            cand = seg_ok & (bit == 1)
+            if exclude is not None:
+                ex, ey, ez = exclude
+                cand = cand & ~((cx == ex) & (cy == ey) & (k_plane == ez))
+            # Visible-cube intersection + snap (wgsl:712-729).
+            ccx = (cx.astype(_F32) + 0.5) * inv_n - half
+            ccy = (cy.astype(_F32) + 0.5) * inv_n - half
+            ccz = (k_plane + 0.5) * inv_n - half
+            t1x = (ccx - cell_half - ox) * inv_dx
+            t2x = (ccx + cell_half - ox) * inv_dx
+            t1y = (ccy - cell_half - oy) * inv_dy
+            t2y = (ccy + cell_half - oy) * inv_dy
+            t1z = (ccz - cell_half - oz) * inv_dz
+            t2z = (ccz + cell_half - oz) * inv_dz
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                jnp.minimum(t1z, t2z),
+            )
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                jnp.maximum(t1z, t2z),
+            )
+            if accept_far:
+                ok = (tn <= tf) & (tf >= t_start)
+            else:
+                ok = (tn <= tf) & (tn >= 0.0)
+            hit = cand & ok
+            found_ref[:] = jnp.where(hit, 1, found_ref[:])
+            t_ref[:] = jnp.where(hit, tn, t_ref[:])
+            hx_ref[:] = jnp.where(hit, cx, hx_ref[:])
+            hy_ref[:] = jnp.where(hit, cy, hy_ref[:])
+            hz_ref[:] = jnp.where(hit, jnp.full((SUB, LANE), k_plane, _I32), hz_ref[:])
+
+        found_ref[:] = jnp.zeros((SUB, LANE), dtype=_I32)
+        t_ref[:] = jnp.zeros((SUB, LANE), dtype=_F32)
+        hx_ref[:] = jnp.zeros((SUB, LANE), dtype=_I32)
+        hy_ref[:] = jnp.zeros((SUB, LANE), dtype=_I32)
+        hz_ref[:] = jnp.zeros((SUB, LANE), dtype=_I32)
+
+        for direction in (1, -1):
+            pass_mask = (dz > 0) if direction > 0 else (dz < 0)
+            pass_possible = active & pass_mask & ~(found_ref[:] == 1)
+
+            @pl.when(_any(pass_possible))
+            def _(direction=direction, pass_mask=pass_mask):
+                pass_active = active & pass_mask
+                for step in range(nc):
+                    c_plane = step if direction > 0 else nc - 1 - step
+                    found = found_ref[:] == 1
+                    ta = (c_plane * 8 * inv_n - half - oz) * inv_dz
+                    tb = ((c_plane * 8 + 8) * inv_n - half - oz) * inv_dz
+                    lo = jnp.maximum(jnp.minimum(ta, tb), t_start)
+                    hi = jnp.minimum(jnp.maximum(ta, tb), t_end)
+                    seg_ok = (lo < hi) & ~found & pass_active
+                    row_b = _bcast_row(coarse[c_plane : c_plane + 1, :])
+                    occ = jnp.zeros_like(seg_ok)
+                    for tprobe in (lo, 0.5 * (lo + hi), hi):
+                        bxc = jnp.floor((ox + tprobe * dx + half) * nc).astype(_I32)
+                        byc = jnp.floor((oy + tprobe * dy + half) * nc).astype(_I32)
+                        occ = occ | fetch_coarse_bit(row_b, bxc, byc, seg_ok)
+
+                    # Gate fine refinement on any candidate lane.
+                    @pl.when(_any(occ))
+                    def _(c_plane=c_plane, direction=direction,
+                          pass_active=pass_active):
+                        for f in range(8):
+                            k = c_plane * 8 + (f if direction > 0 else 7 - f)
+                            probe_fine(k, pass_active)
+
+        return found_ref[:] == 1, t_ref[:], hx_ref[:], hy_ref[:], hz_ref[:]
+
+    def kernel(cam, vol, coarse, out_r, out_g, out_b, out_depth, out_idx,
+               f_a, t_a, hx_a, hy_a, hz_a, f_b, t_b, hx_b, hy_b, hz_b):
+        t = pl.program_id(0)
+        lane = jax.lax.broadcasted_iota(_I32, (SUB, LANE), 1)
+        sub = jax.lax.broadcasted_iota(_I32, (SUB, LANE), 0)
+        p = t * TILE + sub * LANE + lane
+        px = jnp.mod(p, width)
+        py = jnp.minimum(p // width, height - 1)  # padded tail pixels
+
+        win_w = cam[P_WIN]
+        win_h = cam[P_WIN + 1]
+        ux = (px.astype(_F32) + 0.5) / win_w
+        uy = 1.0 - (py.astype(_F32) + 0.5) / win_h
+        rx = (ux - 0.5) * (win_w / win_h)
+        ry = uy - 0.5
+        rx, ry, rz = _normalize3(rx, ry, jnp.full_like(rx, -0.5 * COT_HALF_FOV))
+        dx = cam[P_R00 + 0] * rx + cam[P_R00 + 1] * ry + cam[P_R00 + 2] * rz
+        dy = cam[P_R00 + 3] * rx + cam[P_R00 + 4] * ry + cam[P_R00 + 5] * rz
+        dz = cam[P_R00 + 6] * rx + cam[P_R00 + 7] * ry + cam[P_R00 + 8] * rz
+        ox = jnp.full((SUB, LANE), cam[P_O + 0], _F32)
+        oy = jnp.full((SUB, LANE), cam[P_O + 1], _F32)
+        oz = jnp.full((SUB, LANE), cam[P_O + 2], _F32)
+
+        def vol_slab(o, d):
+            inv = 1.0 / d
+            t1 = (-half - o) * inv
+            t2 = (half - o) * inv
+            return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+        nx_, fx_ = vol_slab(ox, dx)
+        ny_, fy_ = vol_slab(oy, dy)
+        nz_, fz_ = vol_slab(oz, dz)
+        tn = jnp.maximum(jnp.maximum(nx_, ny_), nz_)
+        tf = jnp.minimum(jnp.minimum(fx_, fy_), fz_)
+        active = (tn <= tf) & (tf >= 0.0)
+        t_start = jnp.maximum(tn, 0.0)
+
+        cell_half = inv_n * cam[P_CELLMUL] * 0.5
+        found, t_hit, hx, hy, hz = sweep(
+            vol, coarse, (f_a, t_a, hx_a, hy_a, hz_a),
+            ox, oy, oz, dx, dy, dz, t_start, tf, active,
+            cell_half, None, True,
+        )
+
+        qx = ox + t_hit * dx
+        qy = oy + t_hit * dy
+        qz = oz + t_hit * dz
+
+        ldx, ldy, ldz = _normalize3(
+            cam[P_LIGHT + 0] - qx, cam[P_LIGHT + 1] - qy, cam[P_LIGHT + 2] - qz
+        )
+        if shadow:
+            snx, sfx = vol_slab(qx, ldx)
+            sny, sfy = vol_slab(qy, ldy)
+            snz, sfz = vol_slab(qz, ldz)
+            sh_tf = jnp.minimum(jnp.minimum(sfx, sfy), sfz)
+            occluded, _, _, _, _ = sweep(
+                vol, coarse, (f_b, t_b, hx_b, hy_b, hz_b),
+                qx, qy, qz, ldx, ldy, ldz,
+                jnp.zeros_like(sh_tf), sh_tf, found,
+                cell_half, (hx, hy, hz), False,
+            )
+            occl = jnp.where(occluded, jnp.float32(0.0095), jnp.float32(1.0))
+        else:
+            occl = jnp.ones((SUB, LANE), _F32)
+
+        # ---- Cook-Torrance direct lighting (wgsl:537-633) ----------------
+        cox = (hx.astype(_F32) + 0.5) * inv_n - half
+        coy = (hy.astype(_F32) + 0.5) * inv_n - half
+        coz = (hz.astype(_F32) + 0.5) * inv_n - half
+        fxo, fyo, fzo = qx - cox, qy - coy, qz - coz
+        ax_, ay_, az_ = jnp.abs(fxo), jnp.abs(fyo), jnp.abs(fzo)
+        m = jnp.maximum(jnp.maximum(ax_, ay_), az_)
+        is_x = ax_ == m
+        is_y = (ay_ == m) & ~is_x
+        is_z = ~is_x & ~is_y
+        nxn = jnp.where(is_x, jnp.sign(fxo), 0.0)
+        nyn = jnp.where(is_y, jnp.sign(fyo), 0.0)
+        nzn = jnp.where(is_z, jnp.sign(fzo), 0.0)
+
+        mcr, mcg, mcb = cam[P_MATC], cam[P_MATC + 1], cam[P_MATC + 2]
+        use_mat = (mcr != 0.0) | (mcg != 0.0) | (mcb != 0.0)
+        cxn = hx.astype(_F32) * inv_n
+        cyn = hy.astype(_F32) * inv_n
+        alr = jnp.where(use_mat, mcr, cxn)
+        alg = jnp.where(use_mat, mcg, cyn)
+        alb = jnp.where(use_mat, mcb, 1.0 - cxn)
+
+        vx, vy, vz = _normalize3(ox - qx, oy - qy, oz - qz)
+        hwx, hwy, hwz = _normalize3(ldx + vx, ldy + vy, ldz + vz)
+        rough = cam[P_ROUGH]
+        a2 = rough * rough
+        noh = nxn * hwx + nyn * hwy + nzn * hwz
+        fterm = noh * noh * (a2 - 1.0) + 1.0
+        dterm = a2 / (PI * fterm * fterm)
+        kd = (rough + 1.0) * (rough + 1.0) / 8.0
+        nov = jnp.maximum(0.0, nxn * vx + nyn * vy + nzn * vz)
+        nol_c = jnp.maximum(0.0, nxn * ldx + nyn * ldy + nzn * ldz)
+        gterm = (nov / (nov * (1.0 - kd) + kd)) * (nol_c / (nol_c * (1.0 - kd) + kd))
+        hv = hwx * vx + hwy * vy + hwz * vz
+        p5 = (1.0 - hv) ** 5
+        fr = cam[P_REFL] + (1.0 - cam[P_REFL]) * p5
+        fg = cam[P_REFL + 1] + (1.0 - cam[P_REFL + 1]) * p5
+        fb = cam[P_REFL + 2] + (1.0 - cam[P_REFL + 2]) * p5
+        denom = 4.0 * (vx * nxn + vy * nyn + vz * nzn) * (
+            ldx * nxn + ldy * nyn + ldz * nzn
+        )
+        nol = ldx * nxn + ldy * nyn + ldz * nzn  # un-clamped (wgsl:623)
+        spec = dterm * gterm / denom
+        lmag = cam[P_LMAG]
+        out_rv = jnp.maximum(0.0, (alr / PI + spec * fr) * lmag * nol)
+        out_gv = jnp.maximum(0.0, (alg / PI + spec * fg) * lmag * nol)
+        out_bv = jnp.maximum(0.0, (alb / PI + spec * fb) * lmag * nol)
+
+        out_r[:] = jnp.where(found, out_rv * occl, 0.0)
+        out_g[:] = jnp.where(found, out_gv * occl, 0.0)
+        out_b[:] = jnp.where(found, out_bv * occl, 0.0)
+        out_depth[:] = jnp.where(found, t_hit, jnp.where(active, tf, 0.0))
+        out_idx[:] = jnp.where(
+            found, hx + hy * n + hz * n * n, jnp.full((SUB, LANE), -1, _I32)
+        )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid_size", "width", "height", "shadow", "interpret"),
+)
+def raytrace_tiles(
+    vol,      # uint32 [W, Z, Y] canonical packed volume
+    coarse,   # uint32 [Zc, Yc] occupancy (ops.occupancy.coarse_occupancy)
+    cam,      # f32 [P_LEN] packed camera/material params
+    *,
+    grid_size: int,
+    width: int,
+    height: int,
+    shadow: bool = True,
+    interpret: bool = False,
+):
+    """Trace all pixels: (light_rgb [H,W,3], depth [H,W], hit_idx [H,W])."""
+    if grid_size > 256:
+        raise ValueError("fast path supports grid_size ≤ 256 (VMEM resident)")
+    n = grid_size
+    y_pad = max(LANE, n)
+    # z-major 2D layout: slab loads become leading-dim dynamic slices.
+    vol2d = jnp.pad(vol, ((0, 0), (0, 0), (0, y_pad - n))).transpose(1, 0, 2)
+    vol2d = vol2d.reshape(n, (n // 32) * (y_pad // LANE), LANE)
+    if coarse.shape[1] < LANE:
+        coarse = jnp.pad(coarse, ((0, 0), (0, LANE - coarse.shape[1])))
+    n_pix = width * height
+    tiles = pl.cdiv(n_pix, TILE)
+    kernel = _make_kernel(grid_size, shadow, width, height)
+
+    out_shape = [
+        jax.ShapeDtypeStruct((tiles * SUB, LANE), jnp.float32),
+        jax.ShapeDtypeStruct((tiles * SUB, LANE), jnp.float32),
+        jax.ShapeDtypeStruct((tiles * SUB, LANE), jnp.float32),
+        jax.ShapeDtypeStruct((tiles * SUB, LANE), jnp.float32),
+        jax.ShapeDtypeStruct((tiles * SUB, LANE), jnp.int32),
+    ]
+    out_spec = pl.BlockSpec((SUB, LANE), lambda t: (t, 0))
+    r, g, b, depth, idx = pl.pallas_call(
+        kernel,
+        grid=(tiles,),
+        out_shape=out_shape,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec] * 5,
+        scratch_shapes=[
+            pltpu.VMEM((SUB, LANE), jnp.int32),    # f_a
+            pltpu.VMEM((SUB, LANE), jnp.float32),  # t_a
+            pltpu.VMEM((SUB, LANE), jnp.int32),    # hx_a
+            pltpu.VMEM((SUB, LANE), jnp.int32),    # hy_a
+            pltpu.VMEM((SUB, LANE), jnp.int32),    # hz_a
+            pltpu.VMEM((SUB, LANE), jnp.int32),    # f_b
+            pltpu.VMEM((SUB, LANE), jnp.float32),  # t_b
+            pltpu.VMEM((SUB, LANE), jnp.int32),    # hx_b
+            pltpu.VMEM((SUB, LANE), jnp.int32),    # hy_b
+            pltpu.VMEM((SUB, LANE), jnp.int32),    # hz_b
+        ],
+        interpret=interpret,
+    )(cam, vol2d, coarse)
+
+    def unflat(x):
+        return x.reshape(-1)[:n_pix].reshape(height, width)
+
+    rgb = jnp.stack([unflat(r), unflat(g), unflat(b)], axis=-1)
+    return rgb, unflat(depth), unflat(idx)

@@ -146,10 +146,28 @@ def _estimate_likely_depth(
     return jnp.where(cond, t_near, current_depth)
 
 
+def _cell_age(age_planes, coords, grid_size: int):
+    """Per-pixel age from packed age bit-planes [B, W, Z, Y]."""
+    age = None
+    for i in range(age_planes.shape[0]):
+        bit = get_cell_state(age_planes[i].reshape(-1), coords, grid_size)
+        term = bit << i
+        age = term if age is None else (age | term)
+    return age
+
+
 def _lighting_and_occlusion(
-    packed_flat, sample_point, uv, p: RenderParams, s: RenderStatic, active
+    packed_flat, sample_point, uv, p: RenderParams, s: RenderStatic, active,
+    ages=None, total_states: int = 2,
 ):
-    """calculateLightingAndOcclusionAt (wgsl:379-427)."""
+    """calculateLightingAndOcclusionAt (wgsl:379-427).
+
+    ``ages`` (optional packed age planes) enables age-mapped coloring for
+    multi-state (Generations) rules — an engine extension over the binary
+    reference (BASELINE.json config 2; the reference's _totalStates hook is
+    vestigial, main_pathtraced.js:133,431-439): dying cells fade linearly
+    with age, factor (S - age)/(S - 1).
+    """
     cell_size = jnp.float32(FULL_CUBE_SIZE / s.grid_size)
     coords, origin, _ = cell_from_sample_point(sample_point, s.grid_size)
     state = get_cell_state(packed_flat, coords, s.grid_size)
@@ -189,6 +207,13 @@ def _lighting_and_occlusion(
         material_color=p.material_color,
         base_reflectivity=p.base_reflectivity,
     )
+    if ages is not None and total_states > 2:
+        age = _cell_age(ages, coords, s.grid_size)
+        fade = (total_states - age).astype(jnp.float32) / jnp.float32(
+            total_states - 1
+        )
+        fade = jnp.clip(fade, 0.0, 1.0)
+        color = color * fade[..., None]
     return jnp.where(lit[..., None], occlusion[..., None] * color, 0.0)
 
 
@@ -221,12 +246,14 @@ def _mix_reprojected_color(
     return jnp.where(reject[..., None], current, mixed)
 
 
-@functools.partial(jax.jit, static_argnums=0, donate_argnums=3)
+@functools.partial(jax.jit, static_argnums=(0, 5), donate_argnums=3)
 def render_frame(
     s: RenderStatic,
     packed: jnp.ndarray,
     params: RenderParams,
     history: RenderHistory,
+    ages: jnp.ndarray | None = None,
+    total_states: int = 2,
 ):
     """One frame (wgsl fragment_main :800-890).
 
@@ -291,7 +318,8 @@ def render_frame(
     uv_reproj = _get_reprojected_uv(params.prev_proj_view, accurate_point)
 
     lit_color = _lighting_and_occlusion(
-        packed_flat, accurate_point, uv, params, s, cube_hit
+        packed_flat, accurate_point, uv, params, s, cube_hit,
+        ages=ages, total_states=total_states,
     )
     lit_rgba = jnp.concatenate([lit_color, jnp.ones_like(lit_color[..., :1])], -1)
 

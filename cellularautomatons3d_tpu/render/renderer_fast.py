@@ -1,0 +1,116 @@
+"""Fast render pipeline: Pallas DDA kernel + XLA frame composition.
+
+Mirrors the exact pipeline's per-frame flow (renderer.py / wgsl
+fragment_main :800-890) around the fused kernel in `render_fast.py`:
+temporal EMA accumulation, the light-source cube, the depth-overlay debug
+view, gamma correction and f16 history — all cheap elementwise XLA.
+
+Temporal accumulation: the kernel returns deterministic exact-DDA hits, so
+for a static camera the reference's reprojection degenerates to the same
+pixel; history is validated against the stored hit-cell id (the analogue of
+mixWithReprojectedColor's cell check, wgsl:455-458).  When the camera moved
+since the previous frame the caller passes ``camera_static=False`` and the
+current sample is used directly (the reference's reject path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.occupancy import coarse_occupancy
+from .render_fast import raytrace_tiles, pack_cam
+from .renderer import RenderParams, RenderStatic
+from .intersect import ray_cube_intersect, HALF_CUBE_SIZE
+from .camera import pixel_uvs, get_ray
+
+__all__ = ["FastHistory", "init_fast_history", "render_frame_fast"]
+
+
+class FastHistory(NamedTuple):
+    color: jnp.ndarray    # [H, W, 3] float16 linear light
+    hit_idx: jnp.ndarray  # [H, W] int32 cell id (-1 = miss)
+
+
+def init_fast_history(width: int, height: int) -> FastHistory:
+    return FastHistory(
+        color=jnp.zeros((height, width, 3), dtype=jnp.float16),
+        hit_idx=jnp.full((height, width), -1, dtype=jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def render_frame_fast(
+    s: RenderStatic,
+    packed: jnp.ndarray,
+    params: RenderParams,
+    history: FastHistory,
+    camera_static: bool = True,
+):
+    """One fast-path frame.  Returns (presentation [H,W,3] f32, depth
+    [H,W] f32, new FastHistory)."""
+    h, w = s.height, s.width
+    coarse = coarse_occupancy(packed)
+
+    cam = jnp.concatenate(
+        [
+            params.view_mat[:3, :3].reshape(-1),
+            params.view_mat[:3, 3],
+            jnp.array([w, h], jnp.float32),
+            params.light_pos,
+            params.light_magnitude[None],
+            params.cell_size[None],
+            params.roughness[None],
+            params.base_reflectivity,
+            params.material_color,
+            jnp.zeros((6,), jnp.float32),
+        ]
+    )
+    rgb, depth, idx = raytrace_tiles(
+        packed,
+        coarse,
+        cam,
+        grid_size=s.grid_size,
+        width=w,
+        height=h,
+        # The Pallas TPU kernel has no CPU lowering — interpret off-TPU.
+        interpret=jax.default_backend() == "cpu",
+    )
+
+    # Temporal EMA (wgsl:429-471): same-cell history blended with alpha.
+    if camera_static:
+        prev = history.color.astype(jnp.float32)
+        same_cell = (idx == history.hit_idx) & (idx >= 0)
+        mixed = jnp.clip(prev + (rgb - prev) * params.temporal_alpha, 0.0, 1.0)
+        out = jnp.where(same_cell[..., None], mixed, rgb)
+    else:
+        out = rgb
+
+    # Light-source cube (wgsl:866-874).
+    uv = pixel_uvs(w, h)
+    ray_cam = get_ray(uv, jnp.array([w, h], jnp.float32))
+    view_ray = (params.view_mat[:3, :3] @ ray_cam[..., None])[..., 0]
+    camera_pos = params.view_mat[:3, 3]
+    lt_near, lt_far = ray_cube_intersect(
+        camera_pos, view_ray, params.light_pos, jnp.float32(0.005)
+    )
+    light_hit = (lt_near <= lt_far) & (lt_far >= 0.0)
+    black = jnp.all(out == 0.0, axis=-1)
+    out = jnp.where((light_hit & black)[..., None], jnp.ones_like(out), out)
+
+    # Depth overlay (wgsl:880-883).
+    overlay = (params.show_depth_overlay == 1.0) & (uv[..., 0] < 0.5)
+    overlay_rgb = jnp.stack(
+        [depth, jnp.zeros_like(depth), jnp.zeros_like(depth)], axis=-1
+    )
+    out = jnp.where(overlay[..., None], overlay_rgb, out)
+
+    presentation = jnp.power(out, 1.0 / params.gamma)
+    new_history = FastHistory(
+        color=out.astype(jnp.float16), hit_idx=idx
+    )
+    return presentation, depth, new_history

@@ -80,6 +80,11 @@ class EngineConfig:
     compute_step_duration_ms: float = 48.0   # sim cadence throttle
     width: int = 1920
     height: int = 1080
+    # Render pipeline: "reference" = exact replication of the WGSL renderer
+    # (stochastic march + reprojection, renderer.py); "fast" = the fused
+    # Pallas DDA kernel (render_fast.py) — deterministic exact traversal,
+    # grid_size ≤ 256.
+    pipeline: str = "fast"
 
     def __post_init__(self):
         self.grid_size = snap_grid_size(int(self.grid_size))
@@ -91,6 +96,10 @@ class EngineConfig:
             raise ValueError(f"unknown boundary mode {self.boundary!r}")
         if self.total_states < 2:
             raise ValueError("total_states must be ≥ 2")
+        if self.pipeline not in ("fast", "reference"):
+            raise ValueError(f"unknown pipeline {self.pipeline!r}")
+        if self.pipeline == "fast" and self.grid_size > 256:
+            self.pipeline = "reference"  # fast path is VMEM-resident
         if isinstance(self.light, dict):
             self.light = LightConfig(**self.light)
 

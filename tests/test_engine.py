@@ -44,12 +44,13 @@ def test_tick_cadence():
 
 def test_render_returns_frame_and_updates_history():
     eng = small_engine()
+    assert eng.config.pipeline == "fast"
     eng.step(6)
     f = np.asarray(eng.render())
     assert f.shape == (48, 64, 3)
     assert np.isfinite(f).all()
     assert f.max() > 0  # growth visible from the default camera
-    assert np.asarray(eng.history.depth).max() > 0
+    assert (np.asarray(eng.history.hit_idx) >= 0).sum() > 0
 
 
 def test_live_vs_restart_params():
@@ -103,3 +104,33 @@ def test_camera_rig_moves_camera():
     assert pos1[2] < pos0[2]
     eng.camera.wheel(-100)  # speed up
     assert eng.camera.translation_speed_mul > 0.2
+
+
+def test_reference_pipeline_render():
+    eng = small_engine(pipeline="reference")
+    eng.step(6)
+    f = np.asarray(eng.render())
+    assert f.shape == (48, 64, 3) and np.isfinite(f).all() and f.max() > 0
+    assert np.asarray(eng.history.depth).max() > 0
+
+
+def test_multistate_age_coloring_fades():
+    # Reference pipeline with ages: a dying cell renders dimmer than alive.
+    # Plenty of depth samples: the stochastic march must not miss the
+    # single target cell at this tiny resolution.
+    eng = small_engine(
+        pipeline="reference", born="27", survive="27", total_states=8,
+        neighbourhood="moore", depth_samples=150,
+    )
+    c = 32 // 2 - 1
+    dense = np.zeros((32, 32, 32), np.uint8)
+    dense[c, c, c] = 1
+    eng.set_state_dense(dense)
+    f_alive = np.asarray(eng.render())
+    eng.step(3)  # cell decays to age 4 (no survive)
+    assert eng.state_dense()[c, c, c] == 4
+    f_dying = np.asarray(eng.render())
+    assert f_alive.max() > 0
+    assert f_dying.max() < f_alive.max()  # faded but still visible
+    eng.step(4)  # age 8 → wraps to 0: gone
+    assert eng.state_dense().sum() == 0

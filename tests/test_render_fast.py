@@ -1,0 +1,211 @@
+"""Fast Pallas renderer vs a per-pixel numpy DDA oracle (interpret mode).
+
+The oracle mirrors the kernel's specification exactly: z-plane DDA with
+segment-midpoint cell probes, reference visible-cube accept rules and snap.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import cellularautomatons3d_tpu as ca
+from cellularautomatons3d_tpu.ops.occupancy import coarse_occupancy
+from cellularautomatons3d_tpu.render.render_fast import (
+    raytrace_tiles,
+    pack_cam,
+    COT_HALF_FOV,
+)
+from cellularautomatons3d_tpu.utils import mat4
+
+N = 64
+W_IMG, H_IMG = 128, 64  # 8192 px = 8 tiles
+
+
+def prep(dense):
+    packed = jnp.asarray(ca.pack_grid(dense))  # [W, Z, Y]
+    return packed, coarse_occupancy(packed)
+
+
+def default_cam(**kw):
+    view = kw.pop("view", mat4.initial_view_matrix())
+    args = dict(
+        width=W_IMG, height=H_IMG,
+        light_pos=(0.721, 1.0, 1.0), light_magnitude=5.0,
+        cell_size=0.85, roughness=0.29,
+        base_reflectivity=(0.17, 0.17, 0.17), material_color=(0.0, 0.0, 0.0),
+    )
+    args.update(kw)
+    return jnp.asarray(pack_cam(view, **args)), view
+
+
+def trace(dense, shadow=False, **kw):
+    vol, coarse = prep(dense)
+    cam, view = default_cam(**kw)
+    return raytrace_tiles(
+        vol, coarse, cam, grid_size=N, width=W_IMG, height=H_IMG,
+        shadow=shadow, interpret=True,
+    )
+
+
+# ---------------------------------------------------------------- oracle --
+
+
+def oracle_dda(dense, view, cell_mul=0.85):
+    """Per-pixel numpy DDA following the kernel spec (primary rays)."""
+    h, w = H_IMG, W_IMG
+    n = N
+    rot = view[:3, :3]
+    o = view[:3, 3].astype(np.float64)
+    depth = np.zeros((h, w), np.float32)
+    idx = np.full((h, w), -1, np.int32)
+    half = 0.5
+    cell_half = cell_mul / n * 0.5
+    for py in range(h):
+        for px in range(w):
+            ux = (px + 0.5) / w
+            uy = 1.0 - (py + 0.5) / h
+            r = np.array([(ux - 0.5) * (w / h), uy - 0.5, -0.5 * COT_HALF_FOV])
+            r /= np.linalg.norm(r)
+            d = rot @ r
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t1 = (-half - o) / d
+                t2 = (half - o) / d
+            tn = np.minimum(t1, t2).max()
+            tf = np.maximum(t1, t2).min()
+            if not (tn <= tf and tf >= 0):
+                continue
+            t_start = max(tn, 0.0)
+            ks = range(n) if d[2] > 0 else range(n - 1, -1, -1)
+            hit = False
+            for k in ks:
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    ta = (k / n - half - o[2]) / d[2]
+                    tb = ((k + 1) / n - half - o[2]) / d[2]
+                lo = max(min(ta, tb), t_start)
+                hi = min(max(ta, tb), tf)
+                if not lo < hi:
+                    continue
+                tm = 0.5 * (lo + hi)
+                cx = int(np.clip(np.floor((o[0] + tm * d[0] + half) * n), 0, n - 1))
+                cy = int(np.clip(np.floor((o[1] + tm * d[1] + half) * n), 0, n - 1))
+                if not dense[k, cy, cx]:
+                    continue
+                cc = (np.array([cx, cy, k]) + 0.5) / n - half
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    a = (cc - cell_half - o) / d
+                    b = (cc + cell_half - o) / d
+                tnn = np.minimum(a, b).max()
+                tff = np.maximum(a, b).min()
+                if tnn <= tff and tff >= t_start:
+                    depth[py, px] = tnn
+                    idx[py, px] = cx + cy * n + k * n * n
+                    hit = True
+                    break
+            if not hit:
+                depth[py, px] = tf
+    return depth, idx
+
+
+def test_fast_single_cell_matches_oracle():
+    dense = np.zeros((N, N, N), np.uint8)
+    dense[40, 30, 31] = 1
+    rgb, depth, idx = trace(dense)
+    o_depth, o_idx = oracle_dda(dense, mat4.initial_view_matrix())
+    np.testing.assert_array_equal(np.asarray(idx), o_idx)
+    np.testing.assert_allclose(np.asarray(depth), o_depth, atol=2e-5)
+    assert (np.asarray(idx) >= 0).sum() > 0  # the cell is visible
+
+
+def test_fast_block_matches_oracle():
+    dense = np.zeros((N, N, N), np.uint8)
+    dense[24:40, 24:40, 24:40] = 1
+    rgb, depth, idx = trace(dense)
+    o_depth, o_idx = oracle_dda(dense, mat4.initial_view_matrix())
+    np.testing.assert_array_equal(np.asarray(idx), o_idx)
+    np.testing.assert_allclose(np.asarray(depth), o_depth, atol=2e-5)
+
+
+def test_fast_random_scene_mostly_matches_oracle():
+    rng = np.random.default_rng(5)
+    dense = (rng.random((N, N, N)) < 0.02).astype(np.uint8)
+    rgb, depth, idx = trace(dense)
+    o_depth, o_idx = oracle_dda(dense, mat4.initial_view_matrix())
+    mism = (np.asarray(idx) != o_idx).mean()
+    # The 3-point coarse occupancy probe can rarely miss a diagonal block.
+    assert mism < 0.005, f"mismatch fraction {mism}"
+
+
+def test_fast_rotated_camera_negative_dz():
+    # Camera on the other side looking +z exercises the second sweep pass.
+    view = mat4.rotate(mat4.initial_view_matrix(), (0, 1, 0), np.pi)
+    # After rotating in place the camera still sits at +z; move it past the
+    # volume so it looks back at it.
+    view = mat4.translate(view, (0, 0, 1.6))
+    dense = np.zeros((N, N, N), np.uint8)
+    dense[24:40, 24:40, 24:40] = 1
+    rgb, depth, idx = trace(dense, view=view)
+    o_depth, o_idx = oracle_dda(dense, view)
+    np.testing.assert_array_equal(np.asarray(idx), o_idx)
+    np.testing.assert_allclose(np.asarray(depth), o_depth, atol=2e-5)
+
+
+def test_fast_color_matches_exact_renderer_brdf():
+    """Unshadowed single-cell scene: the fast kernel's lit color must equal
+    the exact renderer's lighting at the same snapped point."""
+    from cellularautomatons3d_tpu.render import brdf
+    from cellularautomatons3d_tpu.render.intersect import cell_from_sample_point
+
+    dense = np.zeros((N, N, N), np.uint8)
+    dense[40, 31, 31] = 1
+    rgb, depth, idx = trace(dense, shadow=False)
+    rgb = np.asarray(rgb)
+    idx = np.asarray(idx)
+    ys, xs = np.nonzero(idx >= 0)
+    assert len(ys) > 0
+    view = mat4.initial_view_matrix()
+    cam_pos = view[:3, 3]
+    for py, px in list(zip(ys, xs))[:5]:
+        ux = (px + 0.5) / W_IMG
+        uy = 1.0 - (py + 0.5) / H_IMG
+        r = np.array([(ux - 0.5) * (W_IMG / H_IMG), uy - 0.5, -0.5 * COT_HALF_FOV])
+        r /= np.linalg.norm(r)
+        d = view[:3, :3] @ r
+        p = cam_pos + d * np.asarray(depth)[py, px]
+        coords, origin, _ = cell_from_sample_point(jnp.asarray(p, jnp.float32), N)
+        want = brdf.calculate_lighting_at(
+            jnp.asarray(p, jnp.float32),
+            origin,
+            coords,
+            jnp.asarray(cam_pos),
+            jnp.full((3,), 5.0, jnp.float32),
+            jnp.asarray([0.721, 1.0, 1.0], jnp.float32),
+            grid_size=N,
+            roughness=jnp.float32(0.29),
+            material_color=jnp.zeros((3,), jnp.float32),
+            base_reflectivity=jnp.full((3,), 0.17, jnp.float32),
+        )
+        np.testing.assert_allclose(rgb[py, px], np.asarray(want), rtol=2e-3, atol=2e-4)
+
+
+def test_fast_shadowing():
+    # A wall between the light and a target cell: the target is occluded.
+    dense = np.zeros((N, N, N), np.uint8)
+    dense[40, 31, 31] = 1          # target cell (visible from camera at +z)
+    dense[44:47, 34:46, 28:42] = 1  # slab above/behind toward the light
+    rgb_s, depth, idx = trace(dense, shadow=True)
+    rgb_n, _, _ = trace(dense, shadow=False)
+    rgb_s, rgb_n, idx = np.asarray(rgb_s), np.asarray(rgb_n), np.asarray(idx)
+    target_idx = 31 + 31 * N + 40 * N * N
+    mask = idx == target_idx
+    assert mask.sum() > 0
+    ratio = rgb_s[mask].sum() / max(rgb_n[mask].sum(), 1e-9)
+    assert ratio < 0.05  # occlusion factor 0.0095 applied
+
+
+def test_fast_empty_grid_black():
+    dense = np.zeros((N, N, N), np.uint8)
+    rgb, depth, idx = trace(dense)
+    assert np.asarray(rgb).max() == 0.0
+    assert (np.asarray(idx) == -1).all()
+    # Depth = distance to volume exit for rays that crossed the volume.
+    assert np.asarray(depth).max() > 0.5
