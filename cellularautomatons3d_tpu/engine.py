@@ -193,6 +193,7 @@ class Engine:
                 self.history,
                 self.state if multistate else None,
                 self.spec.total_states,
+                self.config.render_variant,
             )
         self.camera.end_frame()
         return frame

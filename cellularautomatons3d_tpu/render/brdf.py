@@ -23,6 +23,7 @@ __all__ = [
     "fresnel_schlick",
     "surface_brdf",
     "calculate_lighting_at",
+    "calculate_lighting_at_simple",
 ]
 
 PI = jnp.float32(3.14159265359)  # :65
@@ -103,3 +104,36 @@ def calculate_lighting_at(
     )
     lr = brdf * incident_light * _dot(light_dir, surface_normal)[..., None]
     return jnp.maximum(0.0, lr)
+
+
+def calculate_lighting_at_simple(
+    sample_point,
+    cell_origin,
+    cell_coords,
+    camera_pos,
+    light_pos,
+    light_magnitude,
+    *,
+    grid_size: int,
+):
+    """The non-clustered variant's ad-hoc lighting
+    (pathtraced_fragment.wgsl:338-365 ``calculateLigtingAt``): reflected +
+    diffuse with inverse-square light and camera distance falloffs; rainbow
+    albedo always (pathtraced_fragment.wgsl:440-441)."""
+    face_normal = cube_face_normal(sample_point, cell_origin)
+    view_dir = _normalize(sample_point - camera_pos)
+    dist_light = jnp.linalg.norm(light_pos - sample_point, axis=-1)
+    dist_light_factor = jnp.maximum(1.0, dist_light**2)
+    dist_cam = jnp.linalg.norm(camera_pos - sample_point, axis=-1)
+    dist_cam_factor = jnp.maximum(1.0, dist_cam**2)
+    incident = light_magnitude / dist_light_factor
+    incident_dir = _normalize(sample_point - light_pos)
+    # reflect(i, n) = i - 2*dot(n, i)*n
+    reflected_dir = incident_dir - 2.0 * _dot(face_normal, incident_dir)[..., None] * face_normal
+    reflected = incident * _dot(reflected_dir, -view_dir)
+    c = cell_coords.astype(jnp.float32) / jnp.float32(grid_size)
+    color = jnp.stack([c[..., 0], c[..., 1], 1.0 - c[..., 0]], axis=-1)
+    total = (color * reflected[..., None] + incident[..., None] * color) / (
+        dist_cam_factor[..., None]
+    )
+    return total

@@ -93,6 +93,7 @@ def ray_march_shadow(
     cell_size_mul,
     shadow_samples: int,
     active=None,
+    min_cell_step: bool = True,
 ):
     """Occlusion march toward the light (wgsl:635-680).
 
@@ -107,10 +108,14 @@ def ray_march_shadow(
     vis_half = cell_size * cell_size_mul * 0.5
     # stepSize = max(cell visible size, marchDepth/steps) — :644 (the .x
     # component; cell sizes are isotropic here as in the reference's cubic
-    # grids).
-    step_size = jnp.maximum(
-        cell_size * cell_size_mul, march_depth / jnp.float32(shadow_samples)
-    )
+    # grids).  The non-clustered variant uses the plain quotient
+    # (pathtraced_fragment.wgsl:559).
+    if min_cell_step:
+        step_size = jnp.maximum(
+            cell_size * cell_size_mul, march_depth / jnp.float32(shadow_samples)
+        )
+    else:
+        step_size = march_depth / jnp.float32(shadow_samples)
     depth0 = step_size * rnd_offset + jnp.float32(0.0025)
 
     if active is None:

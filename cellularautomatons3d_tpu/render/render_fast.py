@@ -46,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["raytrace_tiles", "P_LEN", "pack_cam"]
 
-SUB, LANE = 64, 128  # tile block
+SUB, LANE = 128, 128  # tile block
 TILE = SUB * LANE
 
 # cam/params vector layout (f32)
@@ -237,9 +237,11 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int):
             @pl.when(_any(pass_possible))
             def _(direction=direction, pass_mask=pass_mask):
                 pass_active = active & pass_mask
-                for step in range(nc):
-                    c_plane = step if direction > 0 else nc - 1 - step
-                    found = found_ref[:] == 1
+
+                def column_occ(c_plane, found):
+                    """Coarse occupancy candidates for one column (vector).
+
+                    """
                     ta = (c_plane * 8 * inv_n - half - oz) * inv_dz
                     tb = ((c_plane * 8 + 8) * inv_n - half - oz) * inv_dz
                     lo = jnp.maximum(jnp.minimum(ta, tb), t_start)
@@ -251,14 +253,35 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int):
                         bxc = jnp.floor((ox + tprobe * dx + half) * nc).astype(_I32)
                         byc = jnp.floor((oy + tprobe * dy + half) * nc).astype(_I32)
                         occ = occ | fetch_coarse_bit(row_b, bxc, byc, seg_ok)
+                    return occ
 
-                    # Gate fine refinement on any candidate lane.
-                    @pl.when(_any(occ))
-                    def _(c_plane=c_plane, direction=direction,
+                # Branches are expensive even when not taken (live vregs
+                # spill around them) — probe GROUP columns purely in vector
+                # code and branch once per group, with per-column branches
+                # only inside a triggered group.
+                GROUP = 4
+                for g0 in range(0, nc, GROUP):
+                    cols = [
+                        (g0 + j) if direction > 0 else (nc - 1 - (g0 + j))
+                        for j in range(GROUP)
+                    ]
+                    found_g = found_ref[:] == 1
+                    occs = [column_occ(c, found_g) for c in cols]
+                    group_occ = occs[0]
+                    for o in occs[1:]:
+                        group_occ = group_occ | o
+
+                    @pl.when(_any(group_occ))
+                    def _(cols=cols, occs=occs, direction=direction,
                           pass_active=pass_active):
-                        for f in range(8):
-                            k = c_plane * 8 + (f if direction > 0 else 7 - f)
-                            probe_fine(k, pass_active)
+                        for c_plane, occ in zip(cols, occs):
+                            @pl.when(_any(occ))
+                            def _(c_plane=c_plane):
+                                for f in range(8):
+                                    k = c_plane * 8 + (
+                                        f if direction > 0 else 7 - f
+                                    )
+                                    probe_fine(k, pass_active)
 
         return found_ref[:] == 1, t_ref[:], hx_ref[:], hy_ref[:], hz_ref[:]
 

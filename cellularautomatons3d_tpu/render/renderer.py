@@ -158,7 +158,7 @@ def _cell_age(age_planes, coords, grid_size: int):
 
 def _lighting_and_occlusion(
     packed_flat, sample_point, uv, p: RenderParams, s: RenderStatic, active,
-    ages=None, total_states: int = 2,
+    ages=None, total_states: int = 2, variant: str = "clustered",
 ):
     """calculateLightingAndOcclusionAt (wgsl:379-427).
 
@@ -193,20 +193,32 @@ def _lighting_and_occlusion(
         cell_size_mul=p.cell_size,
         shadow_samples=s.shadow_samples,
         active=lit,
+        min_cell_step=variant == "clustered",
     )
     camera_pos = p.view_mat[:3, 3]
-    color = brdf.calculate_lighting_at(
-        sample_point,
-        origin,
-        coords,
-        camera_pos,
-        jnp.broadcast_to(p.light_magnitude, sample_point.shape),
-        p.light_pos,
-        grid_size=s.grid_size,
-        roughness=p.roughness,
-        material_color=p.material_color,
-        base_reflectivity=p.base_reflectivity,
-    )
+    if variant == "clustered":
+        color = brdf.calculate_lighting_at(
+            sample_point,
+            origin,
+            coords,
+            camera_pos,
+            jnp.broadcast_to(p.light_magnitude, sample_point.shape),
+            p.light_pos,
+            grid_size=s.grid_size,
+            roughness=p.roughness,
+            material_color=p.material_color,
+            base_reflectivity=p.base_reflectivity,
+        )
+    else:
+        color = brdf.calculate_lighting_at_simple(
+            sample_point,
+            origin,
+            coords,
+            camera_pos,
+            p.light_pos,
+            p.light_magnitude,
+            grid_size=s.grid_size,
+        )
     if ages is not None and total_states > 2:
         age = _cell_age(ages, coords, s.grid_size)
         fade = (total_states - age).astype(jnp.float32) / jnp.float32(
@@ -246,7 +258,7 @@ def _mix_reprojected_color(
     return jnp.where(reject[..., None], current, mixed)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5), donate_argnums=3)
+@functools.partial(jax.jit, static_argnums=(0, 5, 6), donate_argnums=3)
 def render_frame(
     s: RenderStatic,
     packed: jnp.ndarray,
@@ -254,6 +266,7 @@ def render_frame(
     history: RenderHistory,
     ages: jnp.ndarray | None = None,
     total_states: int = 2,
+    variant: str = "clustered",
 ):
     """One frame (wgsl fragment_main :800-890).
 
@@ -317,9 +330,15 @@ def render_frame(
     accurate_point = camera_pos + view_ray * likely_depth[..., None]
     uv_reproj = _get_reprojected_uv(params.prev_proj_view, accurate_point)
 
+    # The non-clustered variant pins temporalAlpha to 0.1 and gamma to 2.2
+    # (pathtraced_fragment.wgsl:372,704).
+    if variant == "simple":
+        params = params._replace(
+            temporal_alpha=jnp.float32(0.1), gamma=jnp.float32(2.2)
+        )
     lit_color = _lighting_and_occlusion(
         packed_flat, accurate_point, uv, params, s, cube_hit,
-        ages=ages, total_states=total_states,
+        ages=ages, total_states=total_states, variant=variant,
     )
     lit_rgba = jnp.concatenate([lit_color, jnp.ones_like(lit_color[..., :1])], -1)
 

@@ -85,6 +85,12 @@ class EngineConfig:
     # Pallas DDA kernel (render_fast.py) — deterministic exact traversal,
     # grid_size ≤ 256.
     pipeline: str = "fast"
+    # Reference-pipeline shader variant: "clustered" (the active
+    # pathtraced_fragment_clustered.wgsl, Cook-Torrance PBR) or "simple"
+    # (the retained non-clustered pathtraced_fragment.wgsl: ad-hoc
+    # reflect+diffuse lighting, fixed gamma 2.2 / alpha 0.1 — BASELINE
+    # config 1 names this pipeline).
+    render_variant: str = "clustered"
 
     def __post_init__(self):
         self.grid_size = snap_grid_size(int(self.grid_size))
@@ -98,6 +104,10 @@ class EngineConfig:
             raise ValueError("total_states must be ≥ 2")
         if self.pipeline not in ("fast", "reference"):
             raise ValueError(f"unknown pipeline {self.pipeline!r}")
+        if self.render_variant not in ("clustered", "simple"):
+            raise ValueError(f"unknown render_variant {self.render_variant!r}")
+        if self.render_variant == "simple":
+            self.pipeline = "reference"  # only the exact path has it
         if self.pipeline == "fast" and self.grid_size > 256:
             self.pipeline = "reference"  # fast path is VMEM-resident
         if isinstance(self.light, dict):

@@ -134,3 +134,20 @@ def test_multistate_age_coloring_fades():
     assert f_dying.max() < f_alive.max()  # faded but still visible
     eng.step(4)  # age 8 → wraps to 0: gone
     assert eng.state_dense().sum() == 0
+
+
+def test_simple_render_variant():
+    # Non-clustered pipeline (pathtraced_fragment.wgsl): ad-hoc lighting,
+    # fixed gamma 2.2 — must render the same geometry with different shading.
+    eng = small_engine(render_variant="simple", depth_samples=60)
+    eng.step(6)
+    f_simple = np.asarray(eng.render())
+    eng2 = small_engine(pipeline="reference", depth_samples=60)
+    eng2.step(6)
+    f_pbr = np.asarray(eng2.render())
+    assert f_simple.max() > 0 and np.isfinite(f_simple).all()
+    # Nearly identical silhouette (the ad-hoc model can shade a lit pixel
+    # to exactly 0), different shading values.
+    mismatch = ((f_simple.sum(-1) > 0) != (f_pbr.sum(-1) > 0)).mean()
+    assert mismatch < 0.01
+    assert np.abs(f_simple - f_pbr).max() > 0.01
