@@ -298,3 +298,24 @@ class Engine:
         eng.camera.view_mat = data["view_mat"].astype(np.float32)
         eng.camera.prev_view_mat = data["prev_view_mat"].astype(np.float32)
         return eng
+
+
+def _engine_run_fused(self, frames: int, steps_per_frame: int = 1):
+    """Run (steps_per_frame CA steps + 1 frame) × frames fully on device
+    (fast pipeline, static camera).  Returns the last frame."""
+    if self.config.pipeline != "fast":
+        raise ValueError("run_fused requires the fast pipeline")
+    from .render.renderer_fast import make_fused_loop
+
+    run = make_fused_loop(
+        self.render_static, self.spec, frames, steps_per_frame
+    )
+    params = self.render_params()
+    self.state, self.history, frame = run(self.state, params, self.history)
+    self.simulation_step += frames * steps_per_frame
+    self._time_ms += frames * 16.667
+    self.camera.end_frame()
+    return frame
+
+
+Engine.run_fused = _engine_run_fused

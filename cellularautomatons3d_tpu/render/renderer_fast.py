@@ -28,7 +28,12 @@ from .renderer import RenderParams, RenderStatic
 from .intersect import ray_cube_intersect, HALF_CUBE_SIZE
 from .camera import pixel_uvs, get_ray
 
-__all__ = ["FastHistory", "init_fast_history", "render_frame_fast"]
+__all__ = [
+    "FastHistory",
+    "init_fast_history",
+    "render_frame_fast",
+    "make_fused_loop",
+]
 
 
 class FastHistory(NamedTuple):
@@ -114,3 +119,57 @@ def render_frame_fast(
         color=out.astype(jnp.float16), hit_idx=idx
     )
     return presentation, depth, new_history
+
+
+def make_fused_loop(s: RenderStatic, spec, frames: int, steps_per_frame: int = 1):
+    """Jitted production loop: ``frames`` iterations of (CA steps + frame)
+    entirely on device — the north star's zero-host-round-trip loop
+    replacing the reference's per-frame submit (main_pathtraced.js:1833-1850).
+
+    Returns ``run(state, params, history) -> (state, history, last_frame)``.
+    Binary and multi-state automata supported; camera assumed static across
+    the loop (interactive motion goes through Engine.render per frame).
+    """
+    from ..ops.ca_step import fires_plane
+    from ..ops import bitplane
+    from ..ops.ca_step import decay_update
+
+    multistate = spec.total_states > 2
+    nbits = spec.age_bits
+
+    def one_step(st):
+        if not multistate:
+            return fires_plane(st, spec)
+        planes = [st[i] for i in range(nbits)]
+        alive = bitplane.eq_const(planes, 1, nbits)
+        dead = bitplane.eq_const(planes, 0, nbits)
+        fires = fires_plane(alive, spec)
+        return jnp.stack(decay_update(planes, alive, dead, fires, spec.total_states))
+
+    def visibility(st):
+        if not multistate:
+            return st
+        vis = st[0]
+        for i in range(1, nbits):
+            vis = vis | st[i]
+        return vis
+
+    @functools.partial(jax.jit, donate_argnums=(0, 2))
+    def run(state, params: RenderParams, history: FastHistory):
+        h, w = s.height, s.width
+        zero_frame = jnp.zeros((h, w, 3), jnp.float32)
+
+        def body(i, carry):
+            st, hist, _ = carry
+            for _ in range(steps_per_frame):
+                st = one_step(st)
+            frame, _, hist = render_frame_fast(
+                s, visibility(st), params, hist, True
+            )
+            return st, hist, frame
+
+        return jax.lax.fori_loop(
+            0, frames, body, (state, history, zero_frame)
+        )
+
+    return run

@@ -95,24 +95,7 @@ class ViewerServer:
     def frame_png(self) -> bytes:
         with self._lock:
             frame = np.asarray(self.engine.tick())
-        import struct, zlib
-
-        a = image_utils.to_uint8(frame)
-        h, w, c = a.shape
-
-        def chunk(tag, data):
-            return (
-                struct.pack(">I", len(data)) + tag + data
-                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
-            )
-
-        raw = b"".join(b"\x00" + a[r].tobytes() for r in range(h))
-        return (
-            b"\x89PNG\r\n\x1a\n"
-            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
-            + chunk(b"IDAT", zlib.compress(raw, 1))
-            + chunk(b"IEND", b"")
-        )
+        return image_utils.encode_png(frame, level=1)
 
     def handle_input(self, msg: dict):
         eng = self.engine
