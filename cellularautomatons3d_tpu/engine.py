@@ -74,6 +74,8 @@ class Engine:
             grid_size=cfg.grid_size,
             depth_samples=int(cfg.depth_samples),
             shadow_samples=int(cfg.shadow_samples),
+            indirect_lighting=bool(cfg.indirect_lighting),
+            soft_shadow_samples=int(cfg.soft_shadow_samples),
         )
         self.simulation_step = 0
         self._frame_duration = 0.0
@@ -167,6 +169,9 @@ class Engine:
             light_pos=jnp.asarray(self._light_position()),
             light_magnitude=jnp.float32(cfg.light.magnitude),
             show_depth_overlay=jnp.float32(1.0 if cfg.show_depth_overlay else 0.0),
+            light_radius=jnp.float32(cfg.light_radius),
+            emissive_color=jnp.asarray(cfg.emissive_color, jnp.float32),
+            emissive_strength=jnp.float32(cfg.emissive_strength),
         )
 
     def render(self, dt_ms: float = 16.667) -> jnp.ndarray:

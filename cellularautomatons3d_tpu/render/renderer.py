@@ -37,6 +37,7 @@ from .intersect import (
     FULL_CUBE_SIZE,
     ray_cube_intersect,
     sd_box,
+    cube_face_normal,
     cell_from_sample_point,
     get_cell_state,
     n1rand,
@@ -55,6 +56,11 @@ class RenderStatic:
     grid_size: int
     depth_samples: int = 35
     shadow_samples: int = 30
+    # Extensions (BASELINE.json config 4); defaults match the reference:
+    # one-bounce indirect lighting exists but is disabled in the shader
+    # (call commented out, wgsl:424), shadows are hard (1 ray).
+    indirect_lighting: bool = False
+    soft_shadow_samples: int = 1
 
 
 class RenderParams(NamedTuple):
@@ -74,6 +80,10 @@ class RenderParams(NamedTuple):
     light_pos: jnp.ndarray         # [3]
     light_magnitude: jnp.ndarray   # f32
     show_depth_overlay: jnp.ndarray  # f32 (1.0 = on)
+    # Extensions (zero-defaults preserve reference behaviour):
+    light_radius: jnp.ndarray = jnp.float32(0.0)      # area light → soft shadows
+    emissive_color: jnp.ndarray = jnp.zeros(3, jnp.float32)
+    emissive_strength: jnp.ndarray = jnp.float32(0.0)
 
 
 class RenderHistory(NamedTuple):
@@ -175,26 +185,43 @@ def _lighting_and_occlusion(
     dist = sd_box(sample_point - origin, vis_half)
     lit = active & (state == 1) & (dist <= 0.001)
 
-    light_dir = p.light_pos - sample_point
-    light_dir = light_dir / jnp.linalg.norm(light_dir, axis=-1, keepdims=True)
     rnd = n1rand(uv, p.elapsed_time)
 
-    _, t_far = ray_cube_intersect(
-        sample_point, light_dir, jnp.float32(0.0), jnp.float32(HALF_CUBE_SIZE)
-    )
-    volume_exit = sample_point + light_dir * t_far[..., None]
-    occlusion = ray_march_shadow(
-        packed_flat,
-        sample_point,
-        volume_exit,
-        coords,
-        rnd,
-        grid_size=s.grid_size,
-        cell_size_mul=p.cell_size,
-        shadow_samples=s.shadow_samples,
-        active=lit,
-        min_cell_step=variant == "clustered",
-    )
+    def shadow_toward(light_pos, rnd_offset):
+        """One shadow march toward a (possibly jittered) light position
+        (wgsl:403-421)."""
+        light_dir = light_pos - sample_point
+        light_dir = light_dir / jnp.linalg.norm(light_dir, axis=-1, keepdims=True)
+        _, t_far = ray_cube_intersect(
+            sample_point, light_dir, jnp.float32(0.0), jnp.float32(HALF_CUBE_SIZE)
+        )
+        volume_exit = sample_point + light_dir * t_far[..., None]
+        return ray_march_shadow(
+            packed_flat,
+            sample_point,
+            volume_exit,
+            coords,
+            rnd_offset,
+            grid_size=s.grid_size,
+            cell_size_mul=p.cell_size,
+            shadow_samples=s.shadow_samples,
+            active=lit,
+            min_cell_step=variant == "clustered",
+        )
+
+    if s.soft_shadow_samples <= 1:
+        occlusion = shadow_toward(p.light_pos, rnd)
+    else:
+        # Soft shadows (extension): average occlusion over jittered light
+        # positions on a sphere of radius light_radius (0 → hard shadows).
+        occlusion = jnp.zeros_like(rnd)
+        for k in range(s.soft_shadow_samples):
+            jx = n1rand(uv + jnp.float32(0.17 * k + 0.05), p.elapsed_time) - 0.5
+            jy = n1rand(uv + jnp.float32(0.29 * k + 0.11), p.elapsed_time) - 0.5
+            jz = n1rand(uv + jnp.float32(0.41 * k + 0.23), p.elapsed_time) - 0.5
+            jitter = jnp.stack([jx, jy, jz], axis=-1) * (2.0 * p.light_radius)
+            occlusion = occlusion + shadow_toward(p.light_pos + jitter, rnd)
+        occlusion = occlusion / jnp.float32(s.soft_shadow_samples)
     camera_pos = p.view_mat[:3, 3]
     if variant == "clustered":
         color = brdf.calculate_lighting_at(
@@ -226,7 +253,101 @@ def _lighting_and_occlusion(
         )
         fade = jnp.clip(fade, 0.0, 1.0)
         color = color * fade[..., None]
-    return jnp.where(lit[..., None], occlusion[..., None] * color, 0.0)
+    out = occlusion[..., None] * color
+
+    if s.indirect_lighting and variant == "clustered":
+        out = out + _indirect_lighting(
+            packed_flat, sample_point, origin, coords, uv, rnd, p, s, lit
+        )
+
+    # Emissive cells (extension): surfaces add their own radiance.
+    out = out + p.emissive_color * p.emissive_strength
+    return jnp.where(lit[..., None], out, 0.0)
+
+
+# Neighbour-offset layers for indirect lighting, by face (wgsl:110-169):
+# order: -x, +x, -y, +y, -z, +z.
+_INDIRECT_LAYERS = np.array(
+    [
+        [[-1, 1, 0], [-1, -1, 0], [-1, 0, 1], [-1, 0, -1]],
+        [[1, 1, 0], [1, -1, 0], [1, 0, 1], [1, 0, -1]],
+        [[-1, -1, 0], [1, -1, 0], [0, -1, 1], [0, -1, -1]],
+        [[-1, 1, 0], [1, 1, 0], [0, 1, 1], [0, 1, -1]],
+        [[0, 1, -1], [0, -1, -1], [-1, 0, -1], [1, 0, -1]],
+        [[0, 1, 1], [0, -1, 1], [-1, 0, 1], [1, 0, 1]],
+    ],
+    dtype=np.int32,
+)
+
+
+def _indirect_lighting(packed_flat, sample_point, cell_origin, cell_coords,
+                       uv, rnd, p: RenderParams, s: RenderStatic, lit):
+    """One-bounce indirect lighting from the 4 face-adjacent neighbours
+    (calculateIndirectLighting, wgsl:307-377 — implemented and enabled,
+    where the reference leaves the call commented out at :424)."""
+    from .brdf import calculate_lighting_at
+
+    grid = s.grid_size
+    cell_size = jnp.float32(FULL_CUBE_SIZE / grid)
+    vis_half = cell_size * p.cell_size * 0.5
+    normal = cube_face_normal(sample_point, cell_origin)
+    # face index: axis = argmax |n|, sign from its component.
+    face = jnp.where(
+        jnp.abs(normal[..., 0]) > 0.5,
+        jnp.where(normal[..., 0] < 0, 0, 1),
+        jnp.where(
+            jnp.abs(normal[..., 1]) > 0.5,
+            jnp.where(normal[..., 1] < 0, 2, 3),
+            jnp.where(normal[..., 2] < 0, 4, 5),
+        ),
+    )
+    layers = jnp.asarray(_INDIRECT_LAYERS)  # [6, 4, 3]
+    camera_pos = p.view_mat[:3, 3]
+    total = jnp.zeros_like(sample_point)
+    for i in range(4):
+        off = jnp.take(layers[:, i, :], face, axis=0)  # [..., 3] int32
+        n_coords = cell_coords + off
+        n_state = get_cell_state(packed_flat, jnp.maximum(n_coords, 0), grid)
+        n_origin = (
+            n_coords.astype(jnp.float32) * cell_size
+            + cell_size * 0.5
+            - HALF_CUBE_SIZE
+        )
+        n_dir = off.astype(jnp.float32)  # unnormalized, as in the reference
+        t_near, t_far = ray_cube_intersect(sample_point, n_dir, n_origin, vis_half)
+        ok = lit & (n_state == 1) & (t_near <= t_far) & (t_far >= 0.0)
+        n_point = sample_point + n_dir * t_near[..., None]
+
+        l_dir = p.light_pos - n_point
+        l_dir = l_dir / jnp.linalg.norm(l_dir, axis=-1, keepdims=True)
+        _, exit_far = ray_cube_intersect(
+            n_point, l_dir, jnp.float32(0.0), jnp.float32(HALF_CUBE_SIZE)
+        )
+        n_exit = n_point + l_dir * exit_far[..., None]
+        occ = ray_march_shadow(
+            packed_flat, n_point, n_exit, jnp.maximum(n_coords, 0), rnd,
+            grid_size=grid, cell_size_mul=p.cell_size,
+            shadow_samples=s.shadow_samples, active=ok,
+        )
+        reflected = occ[..., None] * calculate_lighting_at(
+            n_point, n_origin, jnp.maximum(n_coords, 0), sample_point,
+            jnp.broadcast_to(p.light_magnitude, sample_point.shape),
+            p.light_pos,
+            grid_size=grid, roughness=p.roughness,
+            material_color=p.material_color,
+            base_reflectivity=p.base_reflectivity,
+        )
+        # Emissive neighbours also bounce their own radiance (extension).
+        reflected = reflected + p.emissive_color * p.emissive_strength
+        bounce = calculate_lighting_at(
+            sample_point, cell_origin, cell_coords, camera_pos,
+            reflected, n_point,
+            grid_size=grid, roughness=p.roughness,
+            material_color=p.material_color,
+            base_reflectivity=p.base_reflectivity,
+        )
+        total = total + jnp.where(ok[..., None], bounce, 0.0)
+    return total
 
 
 def _mix_reprojected_color(

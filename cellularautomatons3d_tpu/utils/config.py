@@ -91,6 +91,12 @@ class EngineConfig:
     # reflect+diffuse lighting, fixed gamma 2.2 / alpha 0.1 — BASELINE
     # config 1 names this pipeline).
     render_variant: str = "clustered"
+    # --- lighting extensions (BASELINE config 4; zero-defaults = reference) --
+    indirect_lighting: bool = False      # one-bounce GI (wgsl:307-377, enabled)
+    soft_shadow_samples: int = 1         # >1 = area-light soft shadows
+    light_radius: float = 0.0            # area-light radius for soft shadows
+    emissive_color: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    emissive_strength: float = 0.0
 
     def __post_init__(self):
         self.grid_size = snap_grid_size(int(self.grid_size))

@@ -151,3 +151,30 @@ def test_simple_render_variant():
     mismatch = ((f_simple.sum(-1) > 0) != (f_pbr.sum(-1) > 0)).mean()
     assert mismatch < 0.01
     assert np.abs(f_simple - f_pbr).max() > 0.01
+
+
+def test_lighting_extensions_indirect_soft_emissive():
+    base = dict(grid_size=32, width=64, height=48, depth_samples=60,
+                shadow_samples=8, pipeline="reference")
+    dense = np.zeros((32, 32, 32), np.uint8)
+    dense[12:20, 12:20, 12:20] = 1
+
+    def frame(**kw):
+        eng = ca.Engine(ca.EngineConfig(**base, **kw))
+        eng.set_state_dense(dense)
+        return np.asarray(eng.render())
+
+    plain = frame()
+    gi = frame(indirect_lighting=True)
+    soft = frame(soft_shadow_samples=4, light_radius=0.2)
+    emis = frame(emissive_color=(0.0, 0.3, 0.0), emissive_strength=1.0)
+
+    assert np.isfinite(gi).all() and np.isfinite(soft).all()
+    # Indirect adds energy somewhere on lit pixels.
+    assert gi.sum() > plain.sum()
+    # Emissive adds green to every hit pixel.
+    hit = plain.sum(-1) > 0
+    assert (emis[..., 1][hit] >= plain[..., 1][hit] - 1e-6).all()
+    assert emis.sum() > plain.sum()
+    # Soft shadows remain a valid image and differ from hard shadows.
+    assert np.isfinite(soft).all() and np.abs(soft - plain).max() > 1e-4
