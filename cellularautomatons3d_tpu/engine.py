@@ -182,12 +182,15 @@ class Engine:
             camera_static = bool(
                 np.array_equal(self.camera.view_mat, self.camera.prev_view_mat)
             )
+            multistate = self.spec.total_states > 2
             frame, _, self.history = render_frame_fast(
                 self.render_static,
                 self._visibility_plane(),
                 params,
                 self.history,
                 camera_static,
+                self.state if multistate else None,
+                self.spec.total_states,
             )
         else:
             multistate = self.spec.total_states > 2

@@ -46,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["raytrace_tiles", "P_LEN", "pack_cam"]
 
-SUB, LANE = 128, 128  # tile block
+SUB, LANE = 256, 128  # tile block: VMEM-bound sweet spot (512 exceeds 16M scoped vmem)
 TILE = SUB * LANE
 
 # cam/params vector layout (f32)
@@ -114,7 +114,8 @@ def pack_cam(view_mat, width, height, light_pos, light_magnitude, cell_size,
     return cam
 
 
-def _make_kernel(n: int, shadow: bool, width: int, height: int):
+def _make_kernel(n: int, shadow: bool, width: int, height: int,
+                 age_bits: int = 0, total_states: int = 2):
     w_words = n // 32
     nc = n // 8
     y_chunks = max(1, n // LANE)  # fine slab lane chunks (Y padded to 128k)
@@ -158,8 +159,9 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int):
         )
         return (bit.astype(_I32) == 1) & valid
 
-    def sweep(vol, coarse, refs, ox, oy, oz, dx, dy, dz, t_start,
-              t_end, active, cell_half, exclude, accept_far: bool):
+    def sweep(vol, coarse, zrange, refs, ox, oy, oz, dx, dy, dz, t_start,
+              t_end, active, cell_half, exclude, accept_far: bool,
+              ages=None, age_ref=None):
         """Two-direction coarse→fine DDA, fully unrolled.
 
         The coarse-column loop is a *python* loop: every plane index — and
@@ -218,6 +220,12 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int):
             else:
                 ok = (tn <= tf) & (tn >= 0.0)
             hit = cand & ok
+            if ages is not None:
+                age = jnp.zeros((SUB, LANE), dtype=_I32)
+                for b_ in range(age_bits):
+                    bit = fetch_fine_bit(ages, b_ * n + k_plane, cx, cy, hit)
+                    age = age | (bit << b_)
+                age_ref[:] = jnp.where(hit, age, age_ref[:])
             found_ref[:] = jnp.where(hit, 1, found_ref[:])
             t_ref[:] = jnp.where(hit, tn, t_ref[:])
             hx_ref[:] = jnp.where(hit, cx, hx_ref[:])
@@ -260,33 +268,50 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int):
                 # code and branch once per group, with per-column branches
                 # only inside a triggered group.
                 GROUP = 4
+                zmin = zrange[0]
+                zmax = zrange[1]
                 for g0 in range(0, nc, GROUP):
                     cols = [
                         (g0 + j) if direction > 0 else (nc - 1 - (g0 + j))
                         for j in range(GROUP)
                     ]
-                    found_g = found_ref[:] == 1
-                    occs = [column_occ(c, found_g) for c in cols]
-                    group_occ = occs[0]
-                    for o in occs[1:]:
-                        group_occ = group_occ | o
+                    lo_c, hi_c = min(cols), max(cols)
 
-                    @pl.when(_any(group_occ))
-                    def _(cols=cols, occs=occs, direction=direction,
+                    # Scalar gate: skip whole groups outside the global
+                    # occupied z-range (computed per frame from the mip) —
+                    # exact, and free for empty space.
+                    @pl.when((zmax >= lo_c) & (zmin <= hi_c))
+                    def _(cols=cols, direction=direction,
                           pass_active=pass_active):
-                        for c_plane, occ in zip(cols, occs):
-                            @pl.when(_any(occ))
-                            def _(c_plane=c_plane):
-                                for f in range(8):
-                                    k = c_plane * 8 + (
-                                        f if direction > 0 else 7 - f
-                                    )
-                                    probe_fine(k, pass_active)
+                        found_g = found_ref[:] == 1
+                        occs = [column_occ(c, found_g) for c in cols]
+                        group_occ = occs[0]
+                        for o in occs[1:]:
+                            group_occ = group_occ | o
+
+                        @pl.when(_any(group_occ))
+                        def _(cols=cols, occs=occs, direction=direction,
+                              pass_active=pass_active):
+                            for c_plane, occ in zip(cols, occs):
+                                @pl.when(_any(occ))
+                                def _(c_plane=c_plane):
+                                    for f in range(8):
+                                        k = c_plane * 8 + (
+                                            f if direction > 0 else 7 - f
+                                        )
+                                        probe_fine(k, pass_active)
 
         return found_ref[:] == 1, t_ref[:], hx_ref[:], hy_ref[:], hz_ref[:]
 
-    def kernel(cam, vol, coarse, out_r, out_g, out_b, out_depth, out_idx,
-               f_a, t_a, hx_a, hy_a, hz_a, f_b, t_b, hx_b, hy_b, hz_b):
+    def kernel(cam, zrange, vol, coarse, *rest):
+        if age_bits:
+            ages, out_r, out_g, out_b, out_depth, out_idx, \
+                f_a, t_a, hx_a, hy_a, hz_a, f_b, t_b, hx_b, hy_b, hz_b, \
+                age_ref = rest
+        else:
+            (out_r, out_g, out_b, out_depth, out_idx,
+             f_a, t_a, hx_a, hy_a, hz_a, f_b, t_b, hx_b, hy_b, hz_b) = rest
+            ages = age_ref = None
         t = pl.program_id(0)
         lane = jax.lax.broadcasted_iota(_I32, (SUB, LANE), 1)
         sub = jax.lax.broadcasted_iota(_I32, (SUB, LANE), 0)
@@ -323,10 +348,13 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int):
         t_start = jnp.maximum(tn, 0.0)
 
         cell_half = inv_n * cam[P_CELLMUL] * 0.5
+        if age_ref is not None:
+            age_ref[:] = jnp.full((SUB, LANE), 1, _I32)
         found, t_hit, hx, hy, hz = sweep(
-            vol, coarse, (f_a, t_a, hx_a, hy_a, hz_a),
+            vol, coarse, zrange, (f_a, t_a, hx_a, hy_a, hz_a),
             ox, oy, oz, dx, dy, dz, t_start, tf, active,
             cell_half, None, True,
+            ages=ages, age_ref=age_ref,
         )
 
         qx = ox + t_hit * dx
@@ -342,7 +370,7 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int):
             snz, sfz = vol_slab(qz, ldz)
             sh_tf = jnp.minimum(jnp.minimum(sfx, sfy), sfz)
             occluded, _, _, _, _ = sweep(
-                vol, coarse, (f_b, t_b, hx_b, hy_b, hz_b),
+                vol, coarse, zrange, (f_b, t_b, hx_b, hy_b, hz_b),
                 qx, qy, qz, ldx, ldy, ldz,
                 jnp.zeros_like(sh_tf), sh_tf, found,
                 cell_half, (hx, hy, hz), False,
@@ -399,6 +427,16 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int):
         out_gv = jnp.maximum(0.0, (alg / PI + spec * fg) * lmag * nol)
         out_bv = jnp.maximum(0.0, (alb / PI + spec * fb) * lmag * nol)
 
+        if age_bits:
+            # Age-mapped fade for multi-state rules (matches the reference
+            # pipeline's extension: dying cells dim linearly with age).
+            fade = jnp.clip(
+                (total_states - age_ref[:]).astype(_F32)
+                / jnp.float32(total_states - 1),
+                0.0,
+                1.0,
+            )
+            occl = occl * fade
         out_r[:] = jnp.where(found, out_rv * occl, 0.0)
         out_g[:] = jnp.where(found, out_gv * occl, 0.0)
         out_b[:] = jnp.where(found, out_bv * occl, 0.0)
@@ -412,18 +450,22 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid_size", "width", "height", "shadow", "interpret"),
+    static_argnames=(
+        "grid_size", "width", "height", "shadow", "interpret", "total_states"
+    ),
 )
 def raytrace_tiles(
-    vol,      # uint32 [W, Z, Y] canonical packed volume
+    vol,      # uint32 [W, Z, Y] canonical packed volume (visibility)
     coarse,   # uint32 [Zc, Yc] occupancy (ops.occupancy.coarse_occupancy)
     cam,      # f32 [P_LEN] packed camera/material params
+    ages=None,  # optional uint32 [B, W, Z, Y] age bit-planes (multi-state)
     *,
     grid_size: int,
     width: int,
     height: int,
     shadow: bool = True,
     interpret: bool = False,
+    total_states: int = 2,
 ):
     """Trace all pixels: (light_rgb [H,W,3], depth [H,W], hit_idx [H,W])."""
     if grid_size > 256:
@@ -435,9 +477,15 @@ def raytrace_tiles(
     vol2d = vol2d.reshape(n, (n // 32) * (y_pad // LANE), LANE)
     if coarse.shape[1] < LANE:
         coarse = jnp.pad(coarse, ((0, 0), (0, LANE - coarse.shape[1])))
+    age_bits = 0 if ages is None else int(ages.shape[0])
+    if ages is not None:
+        ages2d = jnp.pad(ages, ((0, 0), (0, 0), (0, 0), (0, y_pad - n)))
+        ages2d = ages2d.transpose(0, 2, 1, 3).reshape(
+            age_bits * n, (n // 32) * (y_pad // LANE), LANE
+        )
     n_pix = width * height
     tiles = pl.cdiv(n_pix, TILE)
-    kernel = _make_kernel(grid_size, shadow, width, height)
+    kernel = _make_kernel(grid_size, shadow, width, height, age_bits, total_states)
 
     out_shape = [
         jax.ShapeDtypeStruct((tiles * SUB, LANE), jnp.float32),
@@ -447,30 +495,48 @@ def raytrace_tiles(
         jax.ShapeDtypeStruct((tiles * SUB, LANE), jnp.int32),
     ]
     out_spec = pl.BlockSpec((SUB, LANE), lambda t: (t, 0))
+    scratch = [
+        pltpu.VMEM((SUB, LANE), jnp.int32),    # f_a
+        pltpu.VMEM((SUB, LANE), jnp.float32),  # t_a
+        pltpu.VMEM((SUB, LANE), jnp.int32),    # hx_a
+        pltpu.VMEM((SUB, LANE), jnp.int32),    # hy_a
+        pltpu.VMEM((SUB, LANE), jnp.int32),    # hz_a
+        pltpu.VMEM((SUB, LANE), jnp.int32),    # f_b
+        pltpu.VMEM((SUB, LANE), jnp.float32),  # t_b
+        pltpu.VMEM((SUB, LANE), jnp.int32),    # hx_b
+        pltpu.VMEM((SUB, LANE), jnp.int32),    # hy_b
+        pltpu.VMEM((SUB, LANE), jnp.int32),    # hz_b
+    ]
+    # Global occupied z-range (coarse rows): lets the kernel skip whole
+    # column groups with one scalar compare.  Empty volume → inverted range.
+    row_any = jnp.any(coarse != 0, axis=1)
+    nc_ = grid_size // 8
+    idxs = jnp.arange(nc_, dtype=jnp.int32)
+    any_any = jnp.any(row_any)
+    zmin = jnp.where(any_any, jnp.min(jnp.where(row_any, idxs, nc_)), nc_)
+    zmax = jnp.where(any_any, jnp.max(jnp.where(row_any, idxs, -1)), -1)
+    zrange = jnp.stack([zmin, zmax]).astype(jnp.int32)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    inputs = [cam, zrange, vol2d, coarse]
+    if age_bits:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        inputs.append(ages2d)
+        scratch.append(pltpu.VMEM((SUB, LANE), jnp.int32))  # age_ref
     r, g, b, depth, idx = pl.pallas_call(
         kernel,
         grid=(tiles,),
         out_shape=out_shape,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[out_spec] * 5,
-        scratch_shapes=[
-            pltpu.VMEM((SUB, LANE), jnp.int32),    # f_a
-            pltpu.VMEM((SUB, LANE), jnp.float32),  # t_a
-            pltpu.VMEM((SUB, LANE), jnp.int32),    # hx_a
-            pltpu.VMEM((SUB, LANE), jnp.int32),    # hy_a
-            pltpu.VMEM((SUB, LANE), jnp.int32),    # hz_a
-            pltpu.VMEM((SUB, LANE), jnp.int32),    # f_b
-            pltpu.VMEM((SUB, LANE), jnp.float32),  # t_b
-            pltpu.VMEM((SUB, LANE), jnp.int32),    # hx_b
-            pltpu.VMEM((SUB, LANE), jnp.int32),    # hy_b
-            pltpu.VMEM((SUB, LANE), jnp.int32),    # hz_b
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(cam, vol2d, coarse)
+    )(*inputs)
 
     def unflat(x):
         return x.reshape(-1)[:n_pix].reshape(height, width)

@@ -48,13 +48,15 @@ def init_fast_history(width: int, height: int) -> FastHistory:
     )
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4))
+@functools.partial(jax.jit, static_argnums=(0, 4, 6))
 def render_frame_fast(
     s: RenderStatic,
     packed: jnp.ndarray,
     params: RenderParams,
     history: FastHistory,
     camera_static: bool = True,
+    ages: jnp.ndarray | None = None,
+    total_states: int = 2,
 ):
     """One fast-path frame.  Returns (presentation [H,W,3] f32, depth
     [H,W] f32, new FastHistory)."""
@@ -79,11 +81,13 @@ def render_frame_fast(
         packed,
         coarse,
         cam,
+        ages,
         grid_size=s.grid_size,
         width=w,
         height=h,
         # The Pallas TPU kernel has no CPU lowering — interpret off-TPU.
         interpret=jax.default_backend() == "cpu",
+        total_states=total_states,
     )
 
     # Temporal EMA (wgsl:429-471): same-cell history blended with alpha.
@@ -164,7 +168,8 @@ def make_fused_loop(s: RenderStatic, spec, frames: int, steps_per_frame: int = 1
             for _ in range(steps_per_frame):
                 st = one_step(st)
             frame, _, hist = render_frame_fast(
-                s, visibility(st), params, hist, True
+                s, visibility(st), params, hist, True,
+                st if multistate else None, spec.total_states,
             )
             return st, hist, frame
 

@@ -209,3 +209,31 @@ def test_fast_empty_grid_black():
     assert (np.asarray(idx) == -1).all()
     # Depth = distance to volume exit for rays that crossed the volume.
     assert np.asarray(depth).max() > 0.5
+
+
+def test_fast_age_coloring():
+    """Multi-state ages fade the fast-path color like the exact renderer."""
+    dense_alive = np.zeros((N, N, N), np.uint8)
+    dense_alive[40, 28:36, 28:36] = 1      # age-1 wall
+    dense_dying = dense_alive * 6          # same wall at age 6 of 8
+
+    def render(dense):
+        packed_planes = np.stack(
+            [ca.pack_grid((dense >> i) & 1) for i in range(3)]
+        )
+        ages = jnp.asarray(packed_planes)
+        vis = ages[0] | ages[1] | ages[2]
+        cam, _ = default_cam()
+        return np.asarray(raytrace_tiles(
+            vis, coarse_occupancy(vis), cam, ages,
+            grid_size=N, width=W_IMG, height=H_IMG,
+            shadow=False, interpret=True, total_states=8,
+        )[0])
+
+    bright = render(dense_alive)
+    dim = render(dense_dying)
+    assert bright.max() > 0
+    # age 6 of 8 → fade (8-6)/7 ≈ 0.286
+    hit = bright.sum(-1) > 0
+    ratio = dim[hit].sum() / bright[hit].sum()
+    assert 0.2 < ratio < 0.4, ratio
