@@ -23,6 +23,7 @@ from .models import (
     preset_config,
 )
 from .engine import Engine
+from .utils import image, metrics, profiling, video
 from .ops import (
     pack_grid,
     unpack_grid,
@@ -55,5 +56,9 @@ __all__ = [
     "step_packed",
     "step_packed_multistate",
     "make_step_fn",
+    "image",
+    "metrics",
+    "profiling",
+    "video",
     "__version__",
 ]

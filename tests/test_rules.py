@@ -85,3 +85,26 @@ def test_default_ruleset_matches_reference():
     assert rs.born == (1, 3)
     assert rs.survive == (0, 1, 2, 3, 4, 5, 6)
     assert rs.born_edges == (26,)
+
+
+def test_all_presets_construct_and_step():
+    """Every named preset builds a valid engine config and advances."""
+    import jax.numpy as jnp
+    from cellularautomatons3d_tpu.models.presets import PRESETS, preset_config
+    from cellularautomatons3d_tpu.models.automaton import AutomatonSpec
+    from cellularautomatons3d_tpu.ops.packing import pack_grid, seed_random_block
+    from cellularautomatons3d_tpu.ops.ca_step import make_step_fn
+
+    for name in PRESETS:
+        cfg = preset_config(name, grid_size=32)
+        spec = AutomatonSpec.from_config(cfg)
+        dense = seed_random_block(32, rng=1)
+        if spec.total_states == 2:
+            state = jnp.asarray(pack_grid(dense))
+        else:
+            import numpy as np_
+            state = jnp.asarray(np_.stack(
+                [pack_grid((dense >> i) & 1) for i in range(spec.age_bits)]
+            ))
+        out = make_step_fn(spec)(state)
+        assert out.shape == state.shape, name
