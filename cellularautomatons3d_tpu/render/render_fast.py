@@ -46,8 +46,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["raytrace_tiles", "P_LEN", "pack_cam"]
 
-SUB, LANE = 256, 128  # tile block: VMEM-bound sweet spot (512 exceeds 16M scoped vmem)
+SUB, LANE = 256, 128  # tile vregs: VMEM-bound sweet spot (512 exceeds 16M scoped vmem)
 TILE = SUB * LANE
+# Screen-space tile footprint: pixels map to BW×BH blocks (not full-width
+# strips) so rays within a tile are angularly coherent — tighter refinement
+# triggers and gather windows.
+BW, BH = 256, 128
+assert BW * BH == TILE
 
 # cam/params vector layout (f32)
 P_R00 = 0       # view rotation, row-major 3x3 (camera→world)
@@ -159,9 +164,8 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
         )
         return (bit.astype(_I32) == 1) & valid
 
-    def sweep(vol, coarse, zrange, refs, ox, oy, oz, dx, dy, dz, t_start,
-              t_end, active, cell_half, exclude, accept_far: bool,
-              ages=None, age_ref=None):
+    def sweep(vol, coarse, coarse2, zrange, refs, rayrefs, cell_half,
+              exclude, accept_far: bool, ages=None, age_ref=None):
         """Two-direction coarse→fine DDA, fully unrolled.
 
         The coarse-column loop is a *python* loop: every plane index — and
@@ -169,16 +173,34 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
         purely through pl.when predicates (a Mosaic while_loop costs ~2.3 µs
         per iteration in loop machinery alone, dwarfing the actual work).
 
-        Returns (found, t_hit, hx, hy, hz).  ``accept_far``: primary accept
-        rule tN≤tF ∧ tF≥t_start (wgsl:722-724); else shadow rule tN≥0
-        (wgsl:669).
-        """
-        inv_dx = 1.0 / dx
-        inv_dy = 1.0 / dy
-        inv_dz = 1.0 / dz
-        found_ref, t_ref, hx_ref, hy_ref, hz_ref = refs
+        Ray state (origin, direction, t-range, active/steep flags) lives in
+        VMEM scratch refs and is RELOADED inside every conditional region:
+        values live across a branch get spilled/filled around it (~4-5 K
+        cycles per branch at this tile size), so regions keep an empty live
+        set and pay only their own loads.
 
-        def probe_fine(k_plane: int, pass_active):
+        ``exclude``: (hx, hy, hz) refs of a prior sweep's hit cell to ignore
+        (shadow start cell, wgsl:665) or None.  ``accept_far``: primary
+        accept rule tN≤tF ∧ tF≥t_start (wgsl:722-724); else the shadow rule
+        tN≥0 (wgsl:669).  Returns (found, t_hit, hx, hy, hz) values.
+        """
+        found_ref, t_ref, hx_ref, hy_ref, hz_ref = refs
+        r_ox, r_oy, r_oz, r_dx, r_dy, r_dz, r_t0, r_t1, r_flags = rayrefs
+
+        def load_ray():
+            flags = r_flags[:]
+            return (
+                r_ox[:], r_oy[:], r_oz[:], r_dx[:], r_dy[:], r_dz[:],
+                r_t0[:], r_t1[:],
+                (flags & 1) == 1,            # active
+                (flags & 2) == 2,            # steep (force-descend)
+            )
+
+        def probe_fine(k_plane: int, ray, pass_active):
+            ox, oy, oz, dx, dy, dz, t_start, t_end = ray[:8]
+            inv_dx = 1.0 / dx
+            inv_dy = 1.0 / dy
+            inv_dz = 1.0 / dz
             found = found_ref[:] == 1
             ta = (k_plane * inv_n - half - oz) * inv_dz
             tb = ((k_plane + 1) * inv_n - half - oz) * inv_dz
@@ -195,8 +217,11 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
             bit = fetch_fine_bit(vol, k_plane, cx, cy, seg_ok)
             cand = seg_ok & (bit == 1)
             if exclude is not None:
-                ex, ey, ez = exclude
-                cand = cand & ~((cx == ex) & (cy == ey) & (k_plane == ez))
+                cand = cand & ~(
+                    (cx == exclude[0][:])
+                    & (cy == exclude[1][:])
+                    & (k_plane == exclude[2][:])
+                )
             # Visible-cube intersection + snap (wgsl:712-729).
             ccx = (cx.astype(_F32) + 0.5) * inv_n - half
             ccy = (cy.astype(_F32) + 0.5) * inv_n - half
@@ -223,8 +248,8 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
             if ages is not None:
                 age = jnp.zeros((SUB, LANE), dtype=_I32)
                 for b_ in range(age_bits):
-                    bit = fetch_fine_bit(ages, b_ * n + k_plane, cx, cy, hit)
-                    age = age | (bit << b_)
+                    abit = fetch_fine_bit(ages, b_ * n + k_plane, cx, cy, hit)
+                    age = age | (abit << b_)
                 age_ref[:] = jnp.where(hit, age, age_ref[:])
             found_ref[:] = jnp.where(hit, 1, found_ref[:])
             t_ref[:] = jnp.where(hit, tn, t_ref[:])
@@ -232,44 +257,65 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
             hy_ref[:] = jnp.where(hit, cy, hy_ref[:])
             hz_ref[:] = jnp.where(hit, jnp.full((SUB, LANE), k_plane, _I32), hz_ref[:])
 
+        def column_occ(c_plane: int, ray, pass_active, found):
+            """Coarse occupancy candidates for one column (pure vector)."""
+            ox, oy, oz, dx, dy, dz, t_start, t_end = ray[:8]
+            inv_dz = 1.0 / dz
+            ta = (c_plane * 8 * inv_n - half - oz) * inv_dz
+            tb = ((c_plane * 8 + 8) * inv_n - half - oz) * inv_dz
+            lo = jnp.maximum(jnp.minimum(ta, tb), t_start)
+            hi = jnp.minimum(jnp.maximum(ta, tb), t_end)
+            seg_ok = (lo < hi) & ~found & pass_active
+            row_b = _bcast_row(coarse[c_plane : c_plane + 1, :])
+            occ = jnp.zeros_like(seg_ok)
+            for tprobe in (lo, 0.5 * (lo + hi), hi):
+                bxc = jnp.floor((ox + tprobe * dx + half) * nc).astype(_I32)
+                byc = jnp.floor((oy + tprobe * dy + half) * nc).astype(_I32)
+                occ = occ | fetch_coarse_bit(row_b, bxc, byc, seg_ok)
+            return occ
+
+        def pass_dir_active(ray, direction):
+            dz, act = ray[5], ray[8]
+            return act & ((dz > 0) if direction > 0 else (dz < 0))
+
         found_ref[:] = jnp.zeros((SUB, LANE), dtype=_I32)
         t_ref[:] = jnp.zeros((SUB, LANE), dtype=_F32)
         hx_ref[:] = jnp.zeros((SUB, LANE), dtype=_I32)
         hy_ref[:] = jnp.zeros((SUB, LANE), dtype=_I32)
         hz_ref[:] = jnp.zeros((SUB, LANE), dtype=_I32)
 
+        GROUP = 4
+        zmin = zrange[0]
+        zmax = zrange[1]
+
+        def group_body(cols, direction):
+            ray = load_ray()
+            pass_active = pass_dir_active(ray, direction)
+            found_g = found_ref[:] == 1
+            occs = [column_occ(c, ray, pass_active, found_g) for c in cols]
+            group_occ = occs[0]
+            for o in occs[1:]:
+                group_occ = group_occ | o
+
+            @pl.when(_any(group_occ))
+            def _(cols=cols, occs=occs, direction=direction):
+                for c_plane, occ in zip(cols, occs):
+                    @pl.when(_any(occ))
+                    def _(c_plane=c_plane, direction=direction):
+                        ray = load_ray()
+                        pass_active = pass_dir_active(ray, direction)
+                        for f in range(8):
+                            k = c_plane * 8 + (f if direction > 0 else 7 - f)
+                            probe_fine(k, ray, pass_active)
+
         for direction in (1, -1):
-            pass_mask = (dz > 0) if direction > 0 else (dz < 0)
-            pass_possible = active & pass_mask & ~(found_ref[:] == 1)
+            ray0 = load_ray()
+            pass_possible = pass_dir_active(ray0, direction) & ~(
+                found_ref[:] == 1
+            )
 
             @pl.when(_any(pass_possible))
-            def _(direction=direction, pass_mask=pass_mask):
-                pass_active = active & pass_mask
-
-                def column_occ(c_plane, found):
-                    """Coarse occupancy candidates for one column (vector).
-
-                    """
-                    ta = (c_plane * 8 * inv_n - half - oz) * inv_dz
-                    tb = ((c_plane * 8 + 8) * inv_n - half - oz) * inv_dz
-                    lo = jnp.maximum(jnp.minimum(ta, tb), t_start)
-                    hi = jnp.minimum(jnp.maximum(ta, tb), t_end)
-                    seg_ok = (lo < hi) & ~found & pass_active
-                    row_b = _bcast_row(coarse[c_plane : c_plane + 1, :])
-                    occ = jnp.zeros_like(seg_ok)
-                    for tprobe in (lo, 0.5 * (lo + hi), hi):
-                        bxc = jnp.floor((ox + tprobe * dx + half) * nc).astype(_I32)
-                        byc = jnp.floor((oy + tprobe * dy + half) * nc).astype(_I32)
-                        occ = occ | fetch_coarse_bit(row_b, bxc, byc, seg_ok)
-                    return occ
-
-                # Branches are expensive even when not taken (live vregs
-                # spill around them) — probe GROUP columns purely in vector
-                # code and branch once per group, with per-column branches
-                # only inside a triggered group.
-                GROUP = 4
-                zmin = zrange[0]
-                zmax = zrange[1]
+            def _(direction=direction):
                 for g0 in range(0, nc, GROUP):
                     cols = [
                         (g0 + j) if direction > 0 else (nc - 1 - (g0 + j))
@@ -277,47 +323,62 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
                     ]
                     lo_c, hi_c = min(cols), max(cols)
 
-                    # Scalar gate: skip whole groups outside the global
-                    # occupied z-range (computed per frame from the mip) —
-                    # exact, and free for empty space.
+                    # Scalar gate: skip groups outside the global occupied
+                    # z-range — exact, free for empty space.
                     @pl.when((zmax >= lo_c) & (zmin <= hi_c))
-                    def _(cols=cols, direction=direction,
-                          pass_active=pass_active):
+                    def _(cols=cols, lo_c=lo_c, hi_c=hi_c, direction=direction):
+                        ray = load_ray()
+                        ox, oy, oz, dx, dy, dz, t_start, t_end = ray[:8]
+                        steep = ray[9]
+                        pass_active = pass_dir_active(ray, direction)
                         found_g = found_ref[:] == 1
-                        occs = [column_occ(c, found_g) for c in cols]
-                        group_occ = occs[0]
-                        for o in occs[1:]:
-                            group_occ = group_occ | o
+                        # Supercolumn probe: z-OR'd, xy-dilated occupancy of
+                        # the 4-column span; exact thanks to the dilation +
+                        # steep-ray force-descend.
+                        inv_dz = 1.0 / dz
+                        ta = (lo_c * 8 * inv_n - half - oz) * inv_dz
+                        tb = ((hi_c * 8 + 8) * inv_n - half - oz) * inv_dz
+                        lo_t = jnp.maximum(jnp.minimum(ta, tb), t_start)
+                        hi_t = jnp.minimum(jnp.maximum(ta, tb), t_end)
+                        seg2 = (lo_t < hi_t) & ~found_g & pass_active
+                        row2 = _bcast_row(coarse2[lo_c // 4 : lo_c // 4 + 1, :])
+                        occ2 = jnp.zeros_like(seg2)
+                        for tp in (lo_t, 0.5 * (lo_t + hi_t), hi_t):
+                            bxc = jnp.floor((ox + tp * dx + half) * nc).astype(_I32)
+                            byc = jnp.floor((oy + tp * dy + half) * nc).astype(_I32)
+                            occ2 = occ2 | fetch_coarse_bit(row2, bxc, byc, seg2)
+                        descend = seg2 & (occ2 | steep)
 
-                        @pl.when(_any(group_occ))
-                        def _(cols=cols, occs=occs, direction=direction,
-                              pass_active=pass_active):
-                            for c_plane, occ in zip(cols, occs):
-                                @pl.when(_any(occ))
-                                def _(c_plane=c_plane):
-                                    for f in range(8):
-                                        k = c_plane * 8 + (
-                                            f if direction > 0 else 7 - f
-                                        )
-                                        probe_fine(k, pass_active)
+                        @pl.when(_any(descend))
+                        def _(cols=cols, direction=direction):
+                            group_body(cols, direction)
 
         return found_ref[:] == 1, t_ref[:], hx_ref[:], hy_ref[:], hz_ref[:]
 
-    def kernel(cam, zrange, vol, coarse, *rest):
+    def kernel(cam, zrange, vol, coarse, coarse2, *rest):
         if age_bits:
             ages, out_r, out_g, out_b, out_depth, out_idx, \
                 f_a, t_a, hx_a, hy_a, hz_a, f_b, t_b, hx_b, hy_b, hz_b, \
+                r_ox, r_oy, r_oz, r_dx, r_dy, r_dz, r_t0, r_t1, r_flags, \
                 age_ref = rest
         else:
             (out_r, out_g, out_b, out_depth, out_idx,
-             f_a, t_a, hx_a, hy_a, hz_a, f_b, t_b, hx_b, hy_b, hz_b) = rest
+             f_a, t_a, hx_a, hy_a, hz_a, f_b, t_b, hx_b, hy_b, hz_b,
+             r_ox, r_oy, r_oz, r_dx, r_dy, r_dz, r_t0, r_t1, r_flags) = rest
             ages = age_ref = None
+        rayrefs = (r_ox, r_oy, r_oz, r_dx, r_dy, r_dz, r_t0, r_t1, r_flags)
         t = pl.program_id(0)
+        nbx = (width + BW - 1) // BW
+        bx = jnp.mod(t, nbx)
+        by = t // nbx
         lane = jax.lax.broadcasted_iota(_I32, (SUB, LANE), 1)
         sub = jax.lax.broadcasted_iota(_I32, (SUB, LANE), 0)
-        p = t * TILE + sub * LANE + lane
-        px = jnp.mod(p, width)
-        py = jnp.minimum(p // width, height - 1)  # padded tail pixels
+        l = sub * LANE + lane
+        px = bx * BW + jnp.mod(l, BW)
+        py = by * BH + l // BW
+        onscreen = (px < width) & (py < height)
+        px = jnp.minimum(px, width - 1)
+        py = jnp.minimum(py, height - 1)
 
         win_w = cam[P_WIN]
         win_h = cam[P_WIN + 1]
@@ -339,22 +400,35 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
             t2 = (half - o) * inv
             return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
 
+        def store_ray(ox, oy, oz, dx, dy, dz, t0, t1, active):
+            r_ox[:] = ox
+            r_oy[:] = oy
+            r_oz[:] = oz
+            r_dx[:] = dx
+            r_dy[:] = dy
+            r_dz[:] = dz
+            r_t0[:] = t0
+            r_t1[:] = t1
+            steep = (jnp.abs(dx) > 0.5 * jnp.abs(dz)) | (
+                jnp.abs(dy) > 0.5 * jnp.abs(dz)
+            )
+            r_flags[:] = active.astype(_I32) | (steep.astype(_I32) << 1)
+
         nx_, fx_ = vol_slab(ox, dx)
         ny_, fy_ = vol_slab(oy, dy)
         nz_, fz_ = vol_slab(oz, dz)
         tn = jnp.maximum(jnp.maximum(nx_, ny_), nz_)
         tf = jnp.minimum(jnp.minimum(fx_, fy_), fz_)
-        active = (tn <= tf) & (tf >= 0.0)
+        active = (tn <= tf) & (tf >= 0.0) & onscreen
         t_start = jnp.maximum(tn, 0.0)
 
         cell_half = inv_n * cam[P_CELLMUL] * 0.5
         if age_ref is not None:
             age_ref[:] = jnp.full((SUB, LANE), 1, _I32)
+        store_ray(ox, oy, oz, dx, dy, dz, t_start, tf, active)
         found, t_hit, hx, hy, hz = sweep(
-            vol, coarse, zrange, (f_a, t_a, hx_a, hy_a, hz_a),
-            ox, oy, oz, dx, dy, dz, t_start, tf, active,
-            cell_half, None, True,
-            ages=ages, age_ref=age_ref,
+            vol, coarse, coarse2, zrange, (f_a, t_a, hx_a, hy_a, hz_a),
+            rayrefs, cell_half, None, True, ages=ages, age_ref=age_ref,
         )
 
         qx = ox + t_hit * dx
@@ -369,11 +443,10 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
             sny, sfy = vol_slab(qy, ldy)
             snz, sfz = vol_slab(qz, ldz)
             sh_tf = jnp.minimum(jnp.minimum(sfx, sfy), sfz)
+            store_ray(qx, qy, qz, ldx, ldy, ldz, jnp.zeros_like(sh_tf), sh_tf, found)
             occluded, _, _, _, _ = sweep(
-                vol, coarse, zrange, (f_b, t_b, hx_b, hy_b, hz_b),
-                qx, qy, qz, ldx, ldy, ldz,
-                jnp.zeros_like(sh_tf), sh_tf, found,
-                cell_half, (hx, hy, hz), False,
+                vol, coarse, coarse2, zrange, (f_b, t_b, hx_b, hy_b, hz_b),
+                rayrefs, cell_half, (hx_a, hy_a, hz_a), False,
             )
             occl = jnp.where(occluded, jnp.float32(0.0095), jnp.float32(1.0))
         else:
@@ -483,8 +556,9 @@ def raytrace_tiles(
         ages2d = ages2d.transpose(0, 2, 1, 3).reshape(
             age_bits * n, (n // 32) * (y_pad // LANE), LANE
         )
-    n_pix = width * height
-    tiles = pl.cdiv(n_pix, TILE)
+    nbx = pl.cdiv(width, BW)
+    nby = pl.cdiv(height, BH)
+    tiles = nbx * nby
     kernel = _make_kernel(grid_size, shadow, width, height, age_bits, total_states)
 
     out_shape = [
@@ -506,7 +580,28 @@ def raytrace_tiles(
         pltpu.VMEM((SUB, LANE), jnp.int32),    # hx_b
         pltpu.VMEM((SUB, LANE), jnp.int32),    # hy_b
         pltpu.VMEM((SUB, LANE), jnp.int32),    # hz_b
+        pltpu.VMEM((SUB, LANE), jnp.float32),  # r_ox
+        pltpu.VMEM((SUB, LANE), jnp.float32),  # r_oy
+        pltpu.VMEM((SUB, LANE), jnp.float32),  # r_oz
+        pltpu.VMEM((SUB, LANE), jnp.float32),  # r_dx
+        pltpu.VMEM((SUB, LANE), jnp.float32),  # r_dy
+        pltpu.VMEM((SUB, LANE), jnp.float32),  # r_dz
+        pltpu.VMEM((SUB, LANE), jnp.float32),  # r_t0
+        pltpu.VMEM((SUB, LANE), jnp.float32),  # r_t1
+        pltpu.VMEM((SUB, LANE), jnp.int32),    # r_flags
     ]
+    # Supercolumn occupancy: z-OR of each 4 coarse rows, dilated one block
+    # in x/y (see dilate_occupancy) so the kernel's 3-point probe over a
+    # 4-column span stays conservative-exact for |dxy/dz| ≤ 0.5 rays.
+    from ..ops.occupancy import dilate_occupancy
+
+    nc_groups = (grid_size // 8) // 4
+    c4 = coarse[: nc_groups * 4].reshape(nc_groups, 4, -1)
+    coarse2 = c4[:, 0] | c4[:, 1] | c4[:, 2] | c4[:, 3]
+    coarse2 = dilate_occupancy(coarse2)
+    if coarse2.shape[1] < LANE:
+        coarse2 = jnp.pad(coarse2, ((0, 0), (0, LANE - coarse2.shape[1])))
+
     # Global occupied z-range (coarse rows): lets the kernel skip whole
     # column groups with one scalar compare.  Empty volume → inverted range.
     row_any = jnp.any(coarse != 0, axis=1)
@@ -522,8 +617,9 @@ def raytrace_tiles(
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
-    inputs = [cam, zrange, vol2d, coarse]
+    inputs = [cam, zrange, vol2d, coarse, coarse2]
     if age_bits:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         inputs.append(ages2d)
@@ -539,7 +635,9 @@ def raytrace_tiles(
     )(*inputs)
 
     def unflat(x):
-        return x.reshape(-1)[:n_pix].reshape(height, width)
+        # tiles are BW×BH screen blocks in row-major block order
+        x = x.reshape(nby, nbx, BH, BW).transpose(0, 2, 1, 3)
+        return x.reshape(nby * BH, nbx * BW)[:height, :width]
 
     rgb = jnp.stack([unflat(r), unflat(g), unflat(b)], axis=-1)
     return rgb, unflat(depth), unflat(idx)
