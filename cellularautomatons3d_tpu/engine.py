@@ -230,20 +230,68 @@ class Engine:
     # ------------------------------------------------------------------ #
     # reconfiguration (the UI input / restart paths)
     # ------------------------------------------------------------------ #
+    # Live fields that nonetheless require rebuilding the render assets
+    # (RenderStatic trace-time constants, or the history buffers when the
+    # pipeline/resolution changes).  The reference treats depthSamples /
+    # shadowSamples as live uniforms and recreates the history textures on
+    # resize mid-run (main_pathtraced.js:781-797); here "live" means the
+    # change applies on the next frame, at the cost of a recompile.
+    _RENDER_REBUILD_FIELDS = frozenset(
+        {
+            "pipeline",
+            "render_variant",
+            "depth_samples",
+            "shadow_samples",
+            "indirect_lighting",
+            "soft_shadow_samples",
+            "width",
+            "height",
+        }
+    )
+
     def set(self, name: str, value):
         """Set a parameter by config-field name.  Live fields apply
         immediately; restart-bound fields are deferred until
         :meth:`restart` (main_pathtraced.js:639-650)."""
         if name in EngineConfig.RESTART_FIELDS:
             self._pending_restart.append((name, value))
-        else:
-            if "." in name:  # e.g. "light.magnitude"
-                head, tail = name.split(".", 1)
-                obj = getattr(self.config, head)
-                setattr(obj, tail, value)
-            else:
-                self.config = self.config.replace(**{name: value})
+            return self
+        if "." in name:  # e.g. "light.magnitude"
+            head, tail = name.split(".", 1)
+            nested = dataclasses.replace(
+                getattr(self.config, head), **{tail: value}
+            )
+            self.config = self.config.replace(**{head: nested})
+            return self
+        self.config = self.config.replace(**{name: value})
+        if name in self._RENDER_REBUILD_FIELDS:
+            self._refresh_render_assets()
         return self
+
+    def _refresh_render_assets(self):
+        """Rebuild RenderStatic — and the history buffers when their type or
+        shape no longer matches — without touching simulation state.  The
+        live-resize analogue of main_pathtraced.js:781-797 (which recreates
+        the four history textures mid-run)."""
+        cfg = self.config
+        self.render_static = RenderStatic(
+            width=cfg.width,
+            height=cfg.height,
+            grid_size=cfg.grid_size,
+            depth_samples=int(cfg.depth_samples),
+            shadow_samples=int(cfg.shadow_samples),
+            indirect_lighting=bool(cfg.indirect_lighting),
+            soft_shadow_samples=int(cfg.soft_shadow_samples),
+        )
+        want_fast = cfg.pipeline == "fast"
+        have_fast = isinstance(self.history, FastHistory)
+        shape_ok = self.history.color.shape[:2] == (cfg.height, cfg.width)
+        if want_fast != have_fast or not shape_ok:
+            self.history = (
+                init_fast_history(cfg.width, cfg.height)
+                if want_fast
+                else init_history(cfg.width, cfg.height)
+            )
 
     @property
     def restart_required(self) -> bool:
@@ -279,8 +327,10 @@ class Engine:
             state=np.asarray(self.state),
             simulation_step=self.simulation_step,
             time_ms=self._time_ms,
+            frame_duration=self._frame_duration,
             view_mat=self.camera.view_mat,
             prev_view_mat=self.camera.prev_view_mat,
+            prev_proj_view=self.camera.prev_proj_view,
             config=json.dumps(dataclasses.asdict(self.config)),
             **hist,
         )
@@ -305,6 +355,11 @@ class Engine:
             )
         eng.camera.view_mat = data["view_mat"].astype(np.float32)
         eng.camera.prev_view_mat = data["prev_view_mat"].astype(np.float32)
+        # Older checkpoints predate these fields; keep their defaults then.
+        if "prev_proj_view" in data:
+            eng.camera.prev_proj_view = data["prev_proj_view"].astype(np.float32)
+        if "frame_duration" in data:
+            eng._frame_duration = float(data["frame_duration"])
         return eng
 
 

@@ -3,9 +3,9 @@
 This is the plain-``jnp`` reference implementation of the update that the
 device shaders perform (compute_clustered.wgsl:192-247 for the clustered
 semantics, compute.wgsl:49-175 for the toroidal variant).  It is the
-differential-test oracle for the optimized bit-packed step (`ca_step.py`)
-and the Pallas kernel (`ca_pallas.py`), and also serves as the non-clustered
-pipeline equivalent (BASELINE.json config 1).
+differential-test oracle for the optimized bit-packed step (`ca_step.py`),
+and also serves as the non-clustered pipeline equivalent
+(BASELINE.json config 1).
 
 State is a dense ``uint8[Z, Y, X]`` array of cell *ages* (0=dead, 1=alive,
 2..S-1 dying; binary CA uses only {0, 1}).

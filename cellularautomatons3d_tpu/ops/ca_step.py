@@ -16,8 +16,10 @@ TPU-native equivalent of the clustered compute shader
 State layout: ``uint32[W, Z, Y]`` (see `packing.py`); multi-state ages are a
 stack ``uint32[B, W, Z, Y]`` of bit-sliced age planes.
 
-This module is the pure-XLA fast path and the oracle for the fused Pallas
-kernel in `ca_pallas.py`.
+This module IS the production step — the bit-sliced formulation lowers to
+pure VPU logic ops that XLA fuses into a handful of kernels (0.054 ms/step
+at 256³ on v5e), so no hand-written Pallas CA kernel is needed; the dense
+oracle it is differential-tested against is `ca_reference.py`.
 """
 
 from __future__ import annotations

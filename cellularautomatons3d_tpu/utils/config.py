@@ -146,8 +146,9 @@ class EngineConfig:
             "random_initial_state",
             "boundary",
             "seed",
-            "width",
-            "height",
+            # width/height are live: the Engine reallocates history buffers
+            # on resize, matching the reference's mid-run resize path
+            # (main_pathtraced.js:781-797).
         }
     )
 

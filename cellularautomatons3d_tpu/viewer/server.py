@@ -33,8 +33,8 @@ _HTML = (Path(__file__).parent / "static" / "index.html").read_text()
 FIELDS = [
     ("grid_size", "grid size", "int", {"min": 32, "max": 1024, "restart": True}),
     ("cell_size", "cell size", "float", {"min": 0.01, "max": 0.9}),
-    ("depth_samples", "depth samples", "int", {"min": 1, "max": 500, "restart": True}),
-    ("shadow_samples", "shadow samples", "int", {"min": 1, "max": 256, "restart": True}),
+    ("depth_samples", "depth samples", "int", {"min": 1, "max": 500}),
+    ("shadow_samples", "shadow samples", "int", {"min": 1, "max": 256}),
     ("roughness", "material roughness", "float", {"min": 0.0, "max": 1.0}),
     ("base_reflectivity", "base reflectivity", "color", {}),
     ("material_color", "material color", "color", {}),
@@ -54,7 +54,16 @@ FIELDS = [
     ("survive_corners", "survive rules corners", "text", {"restart": True}),
     ("total_states", "total states", "int", {"min": 2, "max": 16, "restart": True}),
     ("gamma", "1 / gamma", "float", {"min": 1.0, "max": 5.0}),
-    ("pipeline", "pipeline", "select", {"options": ["fast", "reference"], "restart": True}),
+    ("pipeline", "pipeline", "select", {"options": ["fast", "reference"]}),
+    ("render_variant", "render variant", "select",
+     {"options": ["clustered", "simple"]}),
+    # Lighting extensions (BASELINE config 4).
+    ("light.position", "light position", "vec3", {}),
+    ("indirect_lighting", "indirect lighting (1-bounce GI)", "bool", {}),
+    ("soft_shadow_samples", "soft shadow samples", "int", {"min": 1, "max": 64}),
+    ("light_radius", "light radius (soft shadows)", "float", {"min": 0.0, "max": 1.0}),
+    ("emissive_color", "emissive color", "color", {}),
+    ("emissive_strength", "emissive strength", "float", {"min": 0.0, "max": 50.0}),
 ]
 
 
@@ -152,9 +161,32 @@ class ViewerServer:
                 else:
                     self._send(404, b"not found", "text/plain")
 
+            def _local_request(self) -> bool:
+                """Reject cross-origin / DNS-rebinding POSTs: Host must be
+                local, and Origin (when a browser sends one) must match."""
+                host = (self.headers.get("Host") or "").split(":")[0]
+                if host not in ("127.0.0.1", "localhost", "[::1]", ""):
+                    return False
+                origin = self.headers.get("Origin")
+                if origin:
+                    ohost = origin.split("//")[-1].split(":")[0].split("/")[0]
+                    if ohost not in ("127.0.0.1", "localhost", "[::1]"):
+                        return False
+                return True
+
             def do_POST(self):
+                if self.path.rstrip("/") != "/input":
+                    self._send(404, b"not found", "text/plain")
+                    return
+                if not self._local_request():
+                    self._send(403, b"forbidden", "text/plain")
+                    return
                 n = int(self.headers.get("Content-Length", 0))
-                msg = json.loads(self.rfile.read(n) or b"{}")
+                try:
+                    msg = json.loads(self.rfile.read(n) or b"{}")
+                except ValueError:
+                    self._send(400, b"bad json", "text/plain")
+                    return
                 out = viewer.handle_input(msg)
                 self._send(200, json.dumps(out).encode(), "application/json")
 

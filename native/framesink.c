@@ -43,6 +43,12 @@ static PyObject *encode_png(PyObject *self, PyObject *args) {
     Py_buffer rgb;
     int level = 1;
     if (!PyArg_ParseTuple(args, "nny*|i", &h, &w, &rgb, &level)) return NULL;
+    if (h <= 0 || w <= 0 || w > PY_SSIZE_T_MAX / 3 / h) {
+        PyBuffer_Release(&rgb);
+        PyErr_SetString(PyExc_ValueError,
+                        "h and w must be positive and h*w*3 representable");
+        return NULL;
+    }
     if (rgb.len != h * w * 3) {
         PyBuffer_Release(&rgb);
         PyErr_SetString(PyExc_ValueError, "rgb buffer must be h*w*3 bytes");

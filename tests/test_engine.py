@@ -153,6 +153,71 @@ def test_simple_render_variant():
     assert np.abs(f_simple - f_pbr).max() > 0.01
 
 
+def test_live_pipeline_switch_rebuilds_history():
+    # ADVICE r1: set('pipeline','reference') must rebuild history so the
+    # next render doesn't crash on a FastHistory/RenderHistory mismatch.
+    eng = small_engine()
+    eng.step(4)
+    eng.render()
+    eng.set("pipeline", "reference")
+    assert not eng.restart_required
+    f = np.asarray(eng.render())  # would raise AttributeError before fix
+    assert np.isfinite(f).all()
+    eng.set("pipeline", "fast")
+    f = np.asarray(eng.render())
+    assert np.isfinite(f).all()
+
+
+def test_live_sample_count_change_applies():
+    # depth/shadow samples are live uniforms in the reference; a live set
+    # must take effect on the next frame (render_static rebuilt).
+    eng = small_engine(pipeline="reference")
+    eng.set("depth_samples", 40)
+    assert eng.render_static.depth_samples == 40
+    eng.set("indirect_lighting", True)
+    assert eng.render_static.indirect_lighting
+    f = np.asarray(eng.render())
+    assert np.isfinite(f).all()
+
+
+def test_live_resize_reallocates_history():
+    # main_pathtraced.js:781-797 resizes mid-run; width/height are live.
+    eng = small_engine()
+    eng.step(4)
+    eng.render()
+    eng.set("width", 80).set("height", 60)
+    assert not eng.restart_required
+    f = np.asarray(eng.render())
+    assert f.shape == (60, 80, 3)
+    assert eng.history.color.shape[:2] == (60, 80)
+
+
+def test_nested_set_does_not_mutate_shared_config():
+    cfg = ca.EngineConfig(grid_size=32, width=64, height=48)
+    eng = ca.Engine(cfg)
+    eng.set("light.magnitude", 9.0)
+    assert eng.config.light.magnitude == 9.0
+    assert cfg.light.magnitude == 5.0  # original config object untouched
+
+
+def test_checkpoint_restores_camera_reprojection_state(tmp_path):
+    eng = small_engine(pipeline="reference")
+    eng.step(3)
+    eng.render()
+    eng.tick()  # accumulate some _frame_duration and prev matrices
+    p = str(tmp_path / "ckpt.npz")
+    eng.save(p)
+    eng2 = ca.Engine.load(p)
+    np.testing.assert_array_equal(
+        eng2.camera.prev_proj_view, eng.camera.prev_proj_view
+    )
+    assert eng2._frame_duration == eng._frame_duration
+    # First resumed frame reprojects identically to the original engine.
+    f1 = np.asarray(eng.render())
+    f2 = np.asarray(eng2.render())
+    np.testing.assert_array_equal(f1, f2)
+
+
 def test_lighting_extensions_indirect_soft_emissive():
     base = dict(grid_size=32, width=64, height=48, depth_samples=60,
                 shadow_samples=8, pipeline="reference")
