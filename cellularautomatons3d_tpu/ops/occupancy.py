@@ -58,17 +58,22 @@ def coarse_occupancy(packed: jnp.ndarray) -> jnp.ndarray:
     return coarse
 
 
-def dilate_occupancy(coarse: jnp.ndarray) -> jnp.ndarray:
-    """OR each block with its 26-neighbourhood (one-block dilation).
+def dilate_occupancy(coarse: jnp.ndarray, dilate_z: bool = True) -> jnp.ndarray:
+    """OR each block with its neighbourhood (one-block dilation).
 
-    Lets the render kernel probe a ray segment's occupancy at its two
-    endpoints only: any block the segment crosses between them is within
-    one block of an endpoint block, so dilation keeps the skip test
-    conservative (never misses occupancy) with a third fewer probes.
+    Lets the render kernel probe a ray segment's occupancy at a few
+    sample points only: any block the segment crosses within one block
+    (Chebyshev) of a probe point's block is covered, so dilation keeps
+    the skip test conservative (never misses occupancy) as long as probe
+    spacing stays ≤ 2 blocks per xy coordinate.
+
+    ``dilate_z=False`` dilates in x/y only — used for the per-z-row
+    column probe, where z is already pinned to the row being probed.
     """
     d = coarse
     d = d | (d << _U32(1)) | (d >> _U32(1))          # x neighbours
-    for axis in (0, 1):                               # z, y neighbours
+    axes = (0, 1) if dilate_z else (1,)               # z (rows), y (lanes)
+    for axis in axes:
         d = d | jnp.roll(d, 1, axis) | jnp.roll(d, -1, axis)
         # roll wraps; the wrapped rows only ADD conservative occupancy at
         # the opposite edge — harmless for a skip structure.

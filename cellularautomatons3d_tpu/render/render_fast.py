@@ -64,6 +64,10 @@ P_CELLMUL = 18  # visible-cube fraction (uCellSize)
 P_ROUGH = 19
 P_REFL = 20     # base reflectivity rgb
 P_MATC = 23     # material color rgb
+P_LRAD = 26     # area-light radius (soft shadows)
+P_EMIS = 27     # emissive color rgb
+P_EMISS = 30    # emissive strength
+P_TIME = 31     # elapsed time (jitter RNG seed)
 P_LEN = 32
 
 _F32 = jnp.float32
@@ -193,7 +197,8 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
                 r_ox[:], r_oy[:], r_oz[:], r_dx[:], r_dy[:], r_dz[:],
                 r_t0[:], r_t1[:],
                 (flags & 1) == 1,            # active
-                (flags & 2) == 2,            # steep (force-descend)
+                (flags & 2) == 2,            # steep_super (skip supercolumn gate)
+                (flags & 4) == 4,            # steep_col (force fine descent)
             )
 
         def probe_fine(k_plane: int, ray, pass_active):
@@ -258,8 +263,17 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
             hz_ref[:] = jnp.where(hit, jnp.full((SUB, LANE), k_plane, _I32), hz_ref[:])
 
         def column_occ(c_plane: int, ray, pass_active, found):
-            """Coarse occupancy candidates for one column (pure vector)."""
+            """Coarse occupancy candidates for one column (pure vector).
+
+            Conservative-exact: ``coarse`` rows are xy-dilated (one block),
+            and probe spacing over the 8-plane segment is ≤ 2 blocks per
+            xy coordinate whenever |dxy/dz| ≤ 4 — every block the segment
+            touches is Chebyshev-1 from a probe point's block.  Rays
+            steeper than that carry the ``steep_col`` flag and descend
+            unconditionally.
+            """
             ox, oy, oz, dx, dy, dz, t_start, t_end = ray[:8]
+            steep_col = ray[10]
             inv_dz = 1.0 / dz
             ta = (c_plane * 8 * inv_n - half - oz) * inv_dz
             tb = ((c_plane * 8 + 8) * inv_n - half - oz) * inv_dz
@@ -267,7 +281,7 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
             hi = jnp.minimum(jnp.maximum(ta, tb), t_end)
             seg_ok = (lo < hi) & ~found & pass_active
             row_b = _bcast_row(coarse[c_plane : c_plane + 1, :])
-            occ = jnp.zeros_like(seg_ok)
+            occ = steep_col & seg_ok
             for tprobe in (lo, 0.5 * (lo + hi), hi):
                 bxc = jnp.floor((ox + tprobe * dx + half) * nc).astype(_I32)
                 byc = jnp.floor((oy + tprobe * dy + half) * nc).astype(_I32)
@@ -409,10 +423,17 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
             r_dz[:] = dz
             r_t0[:] = t0
             r_t1[:] = t1
-            steep = (jnp.abs(dx) > 0.5 * jnp.abs(dz)) | (
-                jnp.abs(dy) > 0.5 * jnp.abs(dz)
+            # Exactness thresholds (see column_occ): the supercolumn's
+            # 3-point probe over a 4-column (32-plane) span is conservative
+            # for |dxy/dz| ≤ 1; the per-column probe for |dxy/dz| ≤ 4.
+            adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+            steep_super = (adx > adz) | (ady > adz)
+            steep_col = (adx > 4.0 * adz) | (ady > 4.0 * adz)
+            r_flags[:] = (
+                active.astype(_I32)
+                | (steep_super.astype(_I32) << 1)
+                | (steep_col.astype(_I32) << 2)
             )
-            r_flags[:] = active.astype(_I32) | (steep.astype(_I32) << 1)
 
         nx_, fx_ = vol_slab(ox, dx)
         ny_, fy_ = vol_slab(oy, dy)
@@ -548,8 +569,15 @@ def raytrace_tiles(
     # z-major 2D layout: slab loads become leading-dim dynamic slices.
     vol2d = jnp.pad(vol, ((0, 0), (0, 0), (0, y_pad - n))).transpose(1, 0, 2)
     vol2d = vol2d.reshape(n, (n // 32) * (y_pad // LANE), LANE)
-    if coarse.shape[1] < LANE:
-        coarse = jnp.pad(coarse, ((0, 0), (0, LANE - coarse.shape[1])))
+    # The kernel probes per-column occupancy against xy-dilated rows —
+    # paired with the ≤2-block probe spacing this makes the column-level
+    # skip conservative-exact (see column_occ).  The undilated rows still
+    # feed coarse2 and the z-range gate below.
+    from ..ops.occupancy import dilate_occupancy
+
+    coarse_col = dilate_occupancy(coarse, dilate_z=False)
+    if coarse_col.shape[1] < LANE:
+        coarse_col = jnp.pad(coarse_col, ((0, 0), (0, LANE - coarse_col.shape[1])))
     age_bits = 0 if ages is None else int(ages.shape[0])
     if ages is not None:
         ages2d = jnp.pad(ages, ((0, 0), (0, 0), (0, 0), (0, y_pad - n)))
@@ -592,9 +620,8 @@ def raytrace_tiles(
     ]
     # Supercolumn occupancy: z-OR of each 4 coarse rows, dilated one block
     # in x/y (see dilate_occupancy) so the kernel's 3-point probe over a
-    # 4-column span stays conservative-exact for |dxy/dz| ≤ 0.5 rays.
-    from ..ops.occupancy import dilate_occupancy
-
+    # 4-column span stays conservative-exact for |dxy/dz| ≤ 1 rays
+    # (steeper rays skip this gate via the steep_super flag).
     nc_groups = (grid_size // 8) // 4
     c4 = coarse[: nc_groups * 4].reshape(nc_groups, 4, -1)
     coarse2 = c4[:, 0] | c4[:, 1] | c4[:, 2] | c4[:, 3]
@@ -619,7 +646,7 @@ def raytrace_tiles(
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
-    inputs = [cam, zrange, vol2d, coarse, coarse2]
+    inputs = [cam, zrange, vol2d, coarse_col, coarse2]
     if age_bits:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         inputs.append(ages2d)

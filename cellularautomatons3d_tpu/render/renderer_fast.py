@@ -10,7 +10,10 @@ for a static camera the reference's reprojection degenerates to the same
 pixel; history is validated against the stored hit-cell id (the analogue of
 mixWithReprojectedColor's cell check, wgsl:455-458).  When the camera moved
 since the previous frame the caller passes ``camera_static=False`` and the
-current sample is used directly (the reference's reject path).
+hit point is reprojected through the previous view-projection matrix
+(getReprojectedUV, wgsl:473-487): history color is gathered at the
+reprojected pixel and kept when the stored hit-cell id matches — so
+accumulation survives interactive camera motion, as in the reference.
 """
 
 from __future__ import annotations
@@ -90,6 +93,11 @@ def render_frame_fast(
         total_states=total_states,
     )
 
+    uv = pixel_uvs(w, h)
+    ray_cam = get_ray(uv, jnp.array([w, h], jnp.float32))
+    view_ray = (params.view_mat[:3, :3] @ ray_cam[..., None])[..., 0]
+    camera_pos = params.view_mat[:3, 3]
+
     # Temporal EMA (wgsl:429-471): same-cell history blended with alpha.
     if camera_static:
         prev = history.color.astype(jnp.float32)
@@ -97,19 +105,42 @@ def render_frame_fast(
         mixed = jnp.clip(prev + (rgb - prev) * params.temporal_alpha, 0.0, 1.0)
         out = jnp.where(same_cell[..., None], mixed, rgb)
     else:
-        out = rgb
+        # Camera moved: reproject the hit point through the previous
+        # view-projection (getReprojectedUV, wgsl:473-487) and gather
+        # history at the reprojected pixel, validated by hit-cell id
+        # (mixWithReprojectedColor, wgsl:429-471).
+        from .renderer import _get_reprojected_uv
+
+        hit_point = camera_pos + view_ray * depth[..., None]
+        uv_r = _get_reprojected_uv(params.prev_proj_view, hit_point)
+        in_bounds = (
+            (uv_r[..., 0] >= 0.0) & (uv_r[..., 0] <= 1.0)
+            & (uv_r[..., 1] >= 0.0) & (uv_r[..., 1] <= 1.0)
+        )
+        px = jnp.clip((uv_r[..., 0] * w).astype(jnp.int32), 0, w - 1)
+        py = jnp.clip((uv_r[..., 1] * h).astype(jnp.int32), 0, h - 1)
+        flat = py * w + px
+        prev = jnp.take(
+            history.color.reshape(-1, 3), flat.reshape(-1), axis=0
+        ).reshape(h, w, 3).astype(jnp.float32)
+        prev_idx = jnp.take(history.hit_idx.reshape(-1), flat.reshape(-1)).reshape(
+            h, w
+        )
+        valid = in_bounds & (idx >= 0) & (prev_idx == idx)
+        mixed = jnp.clip(prev + (rgb - prev) * params.temporal_alpha, 0.0, 1.0)
+        out = jnp.where(valid[..., None], mixed, rgb)
 
     # Light-source cube (wgsl:866-874).
-    uv = pixel_uvs(w, h)
-    ray_cam = get_ray(uv, jnp.array([w, h], jnp.float32))
-    view_ray = (params.view_mat[:3, :3] @ ray_cam[..., None])[..., 0]
-    camera_pos = params.view_mat[:3, 3]
     lt_near, lt_far = ray_cube_intersect(
         camera_pos, view_ray, params.light_pos, jnp.float32(0.005)
     )
     light_hit = (lt_near <= lt_far) & (lt_far >= 0.0)
     black = jnp.all(out == 0.0, axis=-1)
     out = jnp.where((light_hit & black)[..., None], jnp.ones_like(out), out)
+
+    # History snapshots the scene (incl. the light cube) but not the
+    # debug overlay — a left-half depth view must not pollute accumulation.
+    new_history = FastHistory(color=out.astype(jnp.float16), hit_idx=idx)
 
     # Depth overlay (wgsl:880-883).
     overlay = (params.show_depth_overlay == 1.0) & (uv[..., 0] < 0.5)
@@ -119,9 +150,6 @@ def render_frame_fast(
     out = jnp.where(overlay[..., None], overlay_rgb, out)
 
     presentation = jnp.power(out, 1.0 / params.gamma)
-    new_history = FastHistory(
-        color=out.astype(jnp.float16), hit_idx=idx
-    )
     return presentation, depth, new_history
 
 
