@@ -79,10 +79,22 @@ class Engine:
         )
         self.simulation_step = 0
         self._frame_duration = 0.0
+        self.mesh = None
+        self._sharded_step = None
+        self._mesh_render = None
+        if cfg.mesh_devices:
+            # Multi-chip mode (BASELINE config 5): Z-sharded CA step with
+            # ICI halo exchange + pixel-row-sharded rendering.
+            from .parallel.sharded import make_mesh, make_sharded_step
+
+            self.mesh = make_mesh(cfg.mesh_devices)
+            self._sharded_step = make_sharded_step(self.spec, self.mesh)
         if cfg.pipeline == "fast":
             self.history = init_fast_history(cfg.width, cfg.height)
         else:
             self.history = init_history(cfg.width, cfg.height)
+        if self.mesh is not None:
+            self.history = self._shard_history(self.history)
         self._seed_state()
 
     def _seed_state(self):
@@ -104,6 +116,21 @@ class Engine:
         else:
             planes = [packing.pack_grid((dense >> i) & 1) for i in range(nbits)]
             self.state = jnp.asarray(np.stack(planes))
+        if self.mesh is not None:
+            from .parallel.sharded import shard_state
+
+            self.state = shard_state(self.state, self.mesh)
+
+    def _shard_history(self, history):
+        """Place history buffers pixel-row-sharded over the mesh."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from .parallel.sharded import AXIS
+
+        def rows(x):
+            spec = P(AXIS, *([None] * (x.ndim - 1)))
+            return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+        return jax.tree.map(rows, history)
 
     def state_dense(self) -> np.ndarray:
         """Current state as dense ``uint8[Z, Y, X]`` ages."""
@@ -130,7 +157,9 @@ class Engine:
     def step(self, n: int = 1):
         """Advance the CA ``n`` generations."""
         for _ in range(n):
-            if self.spec.total_states == 2:
+            if self._sharded_step is not None:
+                self.state = self._sharded_step(self.state)
+            elif self.spec.total_states == 2:
                 self.state = step_packed(self.state, self.spec)
             else:
                 self.state = step_packed_multistate(self.state, self.spec)
@@ -174,11 +203,71 @@ class Engine:
             emissive_strength=jnp.float32(cfg.emissive_strength),
         )
 
+    def _build_mesh_render(self):
+        """Pixel-row-sharded fast render over the mesh (config 5).
+
+        Each device all-gathers the (small, bit-packed) grid over ICI and
+        renders its row shard with global UVs via the kernel's row0 offset.
+        Temporal accumulation is row-local; camera motion rejects history
+        (cell-id validation) rather than reprojecting across shards.
+        """
+        import dataclasses as _dc
+
+        from jax.sharding import PartitionSpec as P
+        from .parallel.sharded import AXIS
+
+        mesh = self.mesh
+        ndev = mesh.devices.size
+        s = self.render_static
+        s_local = _dc.replace(s, height=s.height // ndev)
+        multistate = self.spec.total_states > 2
+        total_states = self.spec.total_states
+        h_local = s.height // ndev
+
+        def local_render(state_local, params, hcolor, hidx):
+            gathered = jax.lax.all_gather(
+                state_local, AXIS, axis=(2 if multistate else 1), tiled=True
+            )
+            if multistate:
+                vis = gathered[0]
+                for i in range(1, gathered.shape[0]):
+                    vis = vis | gathered[i]
+                ages = gathered
+            else:
+                vis, ages = gathered, None
+            row0 = (jax.lax.axis_index(AXIS) * h_local).astype(jnp.float32)
+            frame, _, hist = render_frame_fast(
+                s_local, vis, params, FastHistory(hcolor, hidx), True,
+                ages, total_states, row0, s.height,
+            )
+            return frame, hist.color, hist.hit_idx
+
+        state_spec = (
+            P(None, None, AXIS, None) if multistate else P(None, AXIS, None)
+        )
+        sm = jax.shard_map(
+            local_render,
+            mesh=mesh,
+            in_specs=(state_spec, P(), P(AXIS, None, None), P(AXIS, None)),
+            out_specs=(P(AXIS, None, None), P(AXIS, None, None), P(AXIS, None)),
+            # pallas_call's out_shapes carry no varying-mesh-axes metadata;
+            # shardings here are fully explicit, so skip the vma check.
+            check_vma=False,
+        )
+        return jax.jit(sm)
+
     def render(self, dt_ms: float = 16.667) -> jnp.ndarray:
         """Render one frame; advances the frame clock and camera history."""
         self._time_ms += dt_ms
         params = self.render_params()
-        if self.config.pipeline == "fast":
+        if self.mesh is not None and self.config.pipeline == "fast":
+            if self._mesh_render is None:
+                self._mesh_render = self._build_mesh_render()
+            frame, hcolor, hidx = self._mesh_render(
+                self.state, params, self.history.color, self.history.hit_idx
+            )
+            self.history = FastHistory(color=hcolor, hit_idx=hidx)
+        elif self.config.pipeline == "fast":
             camera_static = bool(
                 np.array_equal(self.camera.view_mat, self.camera.prev_view_mat)
             )
@@ -194,12 +283,24 @@ class Engine:
             )
         else:
             multistate = self.spec.total_states > 2
+            vis = self._visibility_plane()
+            ages = self.state if multistate else None
+            if self.mesh is not None:
+                # GSPMD row-sharded exact render (the dryrun pattern,
+                # __graft_entry__.dryrun_multichip): grid replicated,
+                # history row-sharded; XLA propagates the pixel split.
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                rep = NamedSharding(self.mesh, P())
+                vis = jax.device_put(vis, rep)
+                if ages is not None:
+                    ages = jax.device_put(ages, rep)
             frame, self.history = render_frame(
                 self.render_static,
-                self._visibility_plane(),
+                vis,
                 params,
                 self.history,
-                self.state if multistate else None,
+                ages,
                 self.spec.total_states,
                 self.config.render_variant,
             )
@@ -292,6 +393,9 @@ class Engine:
                 if want_fast
                 else init_history(cfg.width, cfg.height)
             )
+            if self.mesh is not None:
+                self.history = self._shard_history(self.history)
+        self._mesh_render = None  # trace-time constants changed
 
     @property
     def restart_required(self) -> bool:
@@ -341,6 +445,10 @@ class Engine:
         cfg = EngineConfig(**json.loads(str(data["config"])))
         eng = cls(cfg)
         eng.state = jnp.asarray(data["state"])
+        if eng.mesh is not None:
+            from .parallel.sharded import shard_state
+
+            eng.state = shard_state(eng.state, eng.mesh)
         eng.simulation_step = int(data["simulation_step"])
         eng._time_ms = float(data["time_ms"])
         if "history_idx" in data:
@@ -353,6 +461,8 @@ class Engine:
                 color=jnp.asarray(data["history_color"]),
                 depth=jnp.asarray(data["history_depth"]),
             )
+        if eng.mesh is not None:
+            eng.history = eng._shard_history(eng.history)
         eng.camera.view_mat = data["view_mat"].astype(np.float32)
         eng.camera.prev_view_mat = data["prev_view_mat"].astype(np.float32)
         # Older checkpoints predate these fields; keep their defaults then.
@@ -368,6 +478,10 @@ def _engine_run_fused(self, frames: int, steps_per_frame: int = 1):
     (fast pipeline, static camera).  Returns the last frame."""
     if self.config.pipeline != "fast":
         raise ValueError("run_fused requires the fast pipeline")
+    if self.mesh is not None:
+        raise ValueError(
+            "run_fused is single-device; mesh engines tick via run()"
+        )
     from .render.renderer_fast import make_fused_loop
 
     run = make_fused_loop(

@@ -30,7 +30,13 @@ import numpy as np
 
 from .neighbourhoods import NEIGHBOURS_STORAGE_LEN, MAX_NEIGHBOURS
 
-__all__ = ["parse_rule_string", "RuleSet", "counts_to_mask", "mask_to_counts"]
+__all__ = [
+    "parse_rule_string",
+    "RuleSet",
+    "counts_to_mask",
+    "mask_to_counts",
+    "counts_to_string",
+]
 
 _INT_RE = re.compile(r"^[+-]?\d+")
 
@@ -80,6 +86,36 @@ def counts_to_mask(counts) -> int:
 
 def mask_to_counts(mask: int) -> tuple[int, ...]:
     return tuple(c for c in range(NEIGHBOURS_STORAGE_LEN) if (mask >> c) & 1)
+
+
+def counts_to_string(counts) -> str:
+    """Canonical rule string for a count set: sorted, deduplicated, with
+    runs of ≥ 3 consecutive counts collapsed to ``a-b`` ranges.
+
+    The inverse of :func:`parse_rule_string` up to membership:
+    ``set(parse_rule_string(counts_to_string(c))) == set(c)`` for any
+    in-range counts.  (The reference has no exporter — rule state only
+    flows strings → LUTs; this closes the round trip for checkpoints and
+    the viewer.)
+    """
+    cs = sorted({c for c in counts if 0 <= c <= MAX_NEIGHBOURS})
+    if not cs:
+        return ""
+    parts: list[str] = []
+    run_start = prev = cs[0]
+    for c in cs[1:] + [None]:
+        if c is not None and c == prev + 1:
+            prev = c
+            continue
+        if prev - run_start >= 2:
+            parts.append(f"{run_start}-{prev}")
+        elif prev != run_start:
+            parts.extend([str(run_start), str(prev)])
+        else:
+            parts.append(str(run_start))
+        if c is not None:
+            run_start = prev = c
+    return ",".join(parts)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -154,6 +190,37 @@ class RuleSet:
                 if 0 <= c <= MAX_NEIGHBOURS:
                     survive[c + off] = 1
         return born, survive
+
+    def to_strings(self) -> dict[str, str]:
+        """Canonical rule strings per group (the LUT→string round trip):
+        ``RuleSet.from_strings(**rs.to_strings())`` has identical masks."""
+        return {
+            "born": counts_to_string(self.born),
+            "survive": counts_to_string(self.survive),
+            "born_edges": counts_to_string(self.born_edges),
+            "survive_edges": counts_to_string(self.survive_edges),
+            "born_corners": counts_to_string(self.born_corners),
+            "survive_corners": counts_to_string(self.survive_corners),
+        }
+
+    @classmethod
+    def from_luts(cls, born: np.ndarray, survive: np.ndarray) -> "RuleSet":
+        """Rebuild a RuleSet from the reference-format ``uint32[81]`` LUT
+        pair (inverse of :meth:`lut_arrays`)."""
+        L = NEIGHBOURS_STORAGE_LEN
+
+        def grp(a, g):
+            seg = np.asarray(a)[g * L : (g + 1) * L]
+            return tuple(int(c) for c in np.nonzero(seg)[0])
+
+        return cls(
+            born=grp(born, 0),
+            survive=grp(survive, 0),
+            born_edges=grp(born, 1),
+            survive_edges=grp(survive, 1),
+            born_corners=grp(born, 2),
+            survive_corners=grp(survive, 2),
+        )
 
     def mixed_groups_active(self) -> bool:
         """True when the edges/corners groups can ever fire (count ≤ 12/8)."""

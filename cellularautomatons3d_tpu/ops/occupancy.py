@@ -4,13 +4,15 @@ The reference's 32-cell "clusters" could skip empty words but never do
 (SURVEY.md §5 last bullet — the march samples cell-by-cell,
 pathtraced_fragment_clustered.wgsl:703-736).  Here we build the intended
 acceleration structure: an 8× downsampled occupancy bitmap — one bit per
-8³-cell block, packed 32 blocks per uint32 word along x — recomputed on
-device from the packed grid in a handful of vector ops.
+8³-cell block, packed 32 blocks per uint32 word along x.
 
 Input:  packed ``uint32[W, Z, Y]`` (W = N/32).
-Output: coarse ``uint32[Zc, Yc]`` with Zc = Z/8, Yc = Y/8; bit ``xc`` of
-``coarse[zc, yc]`` = any live cell in block (xc, yc, zc).  Valid for
-N ≤ 256 (W ≤ 8 ⇒ ≤ 32 x-blocks per word).
+Output: coarse ``uint32[Zc, XG·Yc]`` with Zc = Z/8, Yc = Y/8 and
+XG = max(1, W/8) x-block *groups* of 32 blocks each, laid out group-major
+along the minor axis: bit ``xc & 31`` of ``coarse[zc, (xc >> 5)·Yc + yc]``
+= any live cell in block (xc, yc, zc).  For N ≤ 256 (XG = 1) this is the
+plain ``[Zc, Yc]`` bitmap.  XG·Yc must stay ≤ 128 for the render kernel's
+single-row lane gather — N ≤ 512.
 """
 
 from __future__ import annotations
@@ -27,11 +29,10 @@ _U32 = jnp.uint32
 def coarse_occupancy(packed: jnp.ndarray) -> jnp.ndarray:
     """8× occupancy mip; see module docstring."""
     w, z, y = packed.shape
-    n = w * 32
     if z % BLOCK or y % BLOCK:
         raise ValueError(f"grid extents must be multiples of {BLOCK}")
-    if w > BLOCK:
-        raise ValueError("coarse_occupancy supports grids up to 256³")
+    if w % BLOCK and w > BLOCK:
+        raise ValueError("word count must be ≤ 8 or a multiple of 8")
     zc, yc = z // BLOCK, y // BLOCK
 
     # OR together the 8×8 (z, y) cells of each block, per word.
@@ -51,14 +52,22 @@ def coarse_occupancy(packed: jnp.ndarray) -> jnp.ndarray:
         | ((g >> _U32(14)) & _U32(4))
         | ((g >> _U32(21)) & _U32(8))
     )
-    # Assemble words: word w contributes its 4 block-bits at offset 4w.
-    coarse = jnp.zeros((zc, yc), dtype=_U32)
-    for wi in range(w):
-        coarse = coarse | (nib[wi] << _U32(4 * wi))
-    return coarse
+    # Assemble group words: within a group of 8 packed words, word k
+    # contributes its 4 block-bits at offset 4k.
+    xg = max(1, w // BLOCK)
+    groups = []
+    for gi in range(xg):
+        word = jnp.zeros((zc, yc), dtype=_U32)
+        for wi in range(min(BLOCK, w)):
+            word = word | (nib[gi * BLOCK + wi] << _U32(4 * wi))
+        groups.append(word)
+    return jnp.concatenate(groups, axis=1)  # [Zc, XG·Yc]
 
 
-def dilate_occupancy(coarse: jnp.ndarray, dilate_z: bool = True) -> jnp.ndarray:
+def dilate_occupancy(
+    coarse: jnp.ndarray, dilate_z: bool = True, yc: int | None = None,
+    dilate_y: bool = True,
+) -> jnp.ndarray:
     """OR each block with its neighbourhood (one-block dilation).
 
     Lets the render kernel probe a ray segment's occupancy at a few
@@ -69,12 +78,32 @@ def dilate_occupancy(coarse: jnp.ndarray, dilate_z: bool = True) -> jnp.ndarray:
 
     ``dilate_z=False`` dilates in x/y only — used for the per-z-row
     column probe, where z is already pinned to the row being probed.
+    ``dilate_y=False`` dilates in x only — the column probe's 5-point
+    variant needs only ±1 x coverage (probe spacing ≤ 1 block per
+    coordinate makes every touched block share a y-block with some probe
+    and sit within one x-block of it; see render_fast.column_occ).
+    ``yc`` (blocks along y) must be given when the input has multiple
+    x-block groups (N > 256) so dilation respects group boundaries.
     """
-    d = coarse
-    d = d | (d << _U32(1)) | (d >> _U32(1))          # x neighbours
-    axes = (0, 1) if dilate_z else (1,)               # z (rows), y (lanes)
+    zc, ytot = coarse.shape
+    yc = ytot if yc is None else yc
+    xg = ytot // yc
+    d = coarse.reshape(zc, xg, yc)
+    # x neighbours: within-word shifts + the carry across group boundaries
+    # (block 31 of group g is x-adjacent to block 0 of group g+1).
+    x = d | (d << _U32(1)) | (d >> _U32(1))
+    if xg > 1:
+        lo_carry = jnp.zeros_like(d)
+        lo_carry = lo_carry.at[:, :-1].set((d[:, 1:] & _U32(1)) << _U32(31))
+        hi_carry = jnp.zeros_like(d)
+        hi_carry = hi_carry.at[:, 1:].set(d[:, :-1] >> _U32(31))
+        x = x | lo_carry | hi_carry
+    d = x
+    axes = [2] if dilate_y else []       # y (lanes within group)
+    if dilate_z:
+        axes.insert(0, 0)                # z (rows)
     for axis in axes:
         d = d | jnp.roll(d, 1, axis) | jnp.roll(d, -1, axis)
         # roll wraps; the wrapped rows only ADD conservative occupancy at
         # the opposite edge — harmless for a skip structure.
-    return d
+    return d.reshape(zc, ytot)

@@ -46,12 +46,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["raytrace_tiles", "P_LEN", "pack_cam"]
 
-SUB, LANE = 256, 128  # tile vregs: VMEM-bound sweet spot (512 exceeds 16M scoped vmem)
+import os as _os
+
+# Tile shape: SUB×LANE pixel lanes per kernel invocation.  256×128 is the
+# measured sweet spot (512 exceeds 16M scoped vmem); the env override
+# exists for perf experiments only.
+SUB = int(_os.environ.get("CA3D_SUB", "256"))
+LANE = 128
 TILE = SUB * LANE
 # Screen-space tile footprint: pixels map to BW×BH blocks (not full-width
 # strips) so rays within a tile are angularly coherent — tighter refinement
 # triggers and gather windows.
-BW, BH = 256, 128
+BW = int(_os.environ.get("CA3D_BW", "256"))
+BH = TILE // BW
 assert BW * BH == TILE
 
 # cam/params vector layout (f32)
@@ -68,7 +75,8 @@ P_LRAD = 26     # area-light radius (soft shadows)
 P_EMIS = 27     # emissive color rgb
 P_EMISS = 30    # emissive strength
 P_TIME = 31     # elapsed time (jitter RNG seed)
-P_LEN = 32
+P_ROW0 = 32     # global row of this shard's first pixel row (mesh render)
+P_LEN = 40
 
 _F32 = jnp.float32
 _I32 = jnp.int32
@@ -105,9 +113,40 @@ def _normalize3(x, y, z):
     return x * inv, y * inv, z * inv
 
 
+def _store_ray(rayrefs, ox, oy, oz, dx, dy, dz, t0, t1, active):
+    """Write a ray into the VMEM ray-state refs consumed by ``sweep``.
+
+    Exactness thresholds (see column_occ): the supercolumn's 3-point probe
+    over a 4-column (32-plane) span is conservative for |dxy/dz| ≤ 1; the
+    per-column probe for |dxy/dz| ≤ 2 — steeper rays carry force-descend
+    flags.
+    """
+    r_ox, r_oy, r_oz, r_dx, r_dy, r_dz, r_t0, r_t1, r_flags = rayrefs
+    r_ox[:] = ox
+    r_oy[:] = oy
+    r_oz[:] = oz
+    r_dx[:] = dx
+    r_dy[:] = dy
+    r_dz[:] = dz
+    r_t0[:] = t0
+    r_t1[:] = t1
+    adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+    steep_super = (adx > adz) | (ady > adz)
+    steep_col = (adx > 2.0 * adz) | (ady > 2.0 * adz)
+    r_flags[:] = (
+        active.astype(_I32)
+        | (steep_super.astype(_I32) << 1)
+        | (steep_col.astype(_I32) << 2)
+    )
+
+
 def pack_cam(view_mat, width, height, light_pos, light_magnitude, cell_size,
-             roughness, base_reflectivity, material_color):
-    """Host-side packing of the kernel's parameter vector."""
+             roughness, base_reflectivity, material_color,
+             light_radius=0.0, emissive_color=(0.0, 0.0, 0.0),
+             emissive_strength=0.0, elapsed_time=0.0, row0=0.0):
+    """Host-side packing of the kernel's parameter vector.  ``width`` /
+    ``height`` are the FULL window dims (mesh shards pass their local
+    extent as the pallas grid but global dims + ``row0`` here)."""
     import numpy as np
 
     cam = np.zeros((P_LEN,), np.float32)
@@ -120,19 +159,55 @@ def pack_cam(view_mat, width, height, light_pos, light_magnitude, cell_size,
     cam[P_ROUGH] = roughness
     cam[P_REFL : P_REFL + 3] = base_reflectivity
     cam[P_MATC : P_MATC + 3] = material_color
+    cam[P_LRAD] = light_radius
+    cam[P_EMIS : P_EMIS + 3] = emissive_color
+    cam[P_EMISS] = emissive_strength
+    cam[P_TIME] = elapsed_time
+    cam[P_ROW0] = row0
     return cam
 
 
-def _make_kernel(n: int, shadow: bool, width: int, height: int,
-                 age_bits: int = 0, total_states: int = 2):
+# The 12 edge-diagonal neighbour offsets (dx, dy, dz) — the union of the
+# reference's per-face indirect-lighting layers (wgsl:110-169).  Bits of the
+# per-hit neighbour mask recorded by the primary sweep use this order.
+_EDGE_OFFSETS = (
+    (-1, -1, 0), (-1, 1, 0), (1, -1, 0), (1, 1, 0),
+    (-1, 0, -1), (-1, 0, 1), (1, 0, -1), (1, 0, 1),
+    (0, -1, -1), (0, -1, 1), (0, 1, -1), (0, 1, 1),
+)
+# _INDIRECT_LAYERS (renderer.py) → _EDGE_OFFSETS bit index, per face
+# (face order: -x, +x, -y, +y, -z, +z) and slot (0..3).
+_LAYER_BIT = (
+    (1, 0, 5, 4),
+    (3, 2, 7, 6),
+    (0, 2, 9, 8),
+    (1, 3, 11, 10),
+    (10, 8, 4, 6),
+    (11, 9, 5, 7),
+)
+
+
+def _make_traversal(n: int, z0: int = 0, zext: int | None = None,
+                    age_bits: int = 0):
+    """DDA traversal closures over a z-slab [z0, z0+zext) of an n³ volume.
+
+    The fused single-kernel path uses the full volume (z0=0, zext=n); the
+    sliced path for n > 256 builds one traversal per slab and composites
+    in XLA (see render_slab.py).  Plane indices inside the closures are
+    slab-local (static unrolled); all geometry uses the global z = z0 + k.
+    Returns (sweep, fetch_fine_bit).
+    """
+    zext = n if zext is None else zext
     w_words = n // 32
-    nc = n // 8
+    nbk = n // 8                  # blocks along x and y (coordinate space)
+    ncy = n // 8                  # blocks along y per x-group row segment
+    nc = zext // 8                # slab-local coarse column count
     y_chunks = max(1, n // LANE)  # fine slab lane chunks (Y padded to 128k)
     inv_n = 1.0 / n
     half = 0.5
 
     def fetch_fine_bit(vol, k_plane: int, cx, cy, valid):
-        """Bit of cell (cx, cy, z=k_plane); vol VMEM ref [Z, C, 128]
+        """Bit of cell (cx, cy, slab plane k_plane); vol VMEM ref [Z, C, 128]
         (z-major, chunk-major; k_plane is a *static* unrolled plane index so
         every load is a static lane-aligned slice).
 
@@ -160,16 +235,31 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
         return bit.astype(_I32)
 
     def fetch_coarse_bit(row_b, bxc, byc, valid):
-        """Occupancy of coarse block (bxc, byc) in a pre-broadcast row."""
-        g = _lane_gather(row_b, jnp.clip(byc, 0, nc - 1))
+        """Occupancy of coarse block (bxc, byc) in a pre-broadcast row.
+
+        Rows hold XG x-block groups of 32 blocks each, group-major along
+        the lane axis (ops.occupancy.coarse_occupancy): lane index =
+        (bxc >> 5)·ncy + byc, bit = bxc & 31.  For n ≤ 256 (one group)
+        this degenerates to lane = byc, bit = bxc.
+        """
+        bxc = jnp.clip(bxc, 0, nbk - 1)
+        byc = jnp.clip(byc, 0, nbk - 1)
+        if nbk <= 32:
+            idx = byc
+        else:
+            idx = jax.lax.shift_right_logical(bxc, 5) * ncy + byc
+        g = _lane_gather(row_b, idx)
         bit = jnp.bitwise_and(
-            jax.lax.shift_right_logical(g, jnp.clip(bxc, 0, nc - 1).astype(_U32)),
+            jax.lax.shift_right_logical(
+                g, jnp.bitwise_and(bxc, 31).astype(_U32)
+            ),
             _U32(1),
         )
         return (bit.astype(_I32) == 1) & valid
 
     def sweep(vol, coarse, coarse2, zrange, refs, rayrefs, cell_half,
-              exclude, accept_far: bool, ages=None, age_ref=None):
+              exclude, accept_far: bool, ages=None, age_ref=None,
+              nb_ref=None, scalar_origin=None):
         """Two-direction coarse→fine DDA, fully unrolled.
 
         The coarse-column loop is a *python* loop: every plane index — and
@@ -190,11 +280,23 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
         """
         found_ref, t_ref, hx_ref, hy_ref, hz_ref = refs
         r_ox, r_oy, r_oz, r_dx, r_dy, r_dz, r_t0, r_t1, r_flags = rayrefs
+        # Neighbour recording indexes planes k±1 locally — only valid when
+        # the traversal covers the full volume.
+        assert nb_ref is None or (z0 == 0 and zext == n)
 
         def load_ray():
             flags = r_flags[:]
+            if scalar_origin is None:
+                ox, oy, oz = r_ox[:], r_oy[:], r_oz[:]
+            else:
+                # Primary rays share one camera origin: splat the scalars
+                # instead of re-reading three 128 KiB refs in every
+                # conditional region.
+                ox = jnp.full((SUB, LANE), scalar_origin[0], _F32)
+                oy = jnp.full((SUB, LANE), scalar_origin[1], _F32)
+                oz = jnp.full((SUB, LANE), scalar_origin[2], _F32)
             return (
-                r_ox[:], r_oy[:], r_oz[:], r_dx[:], r_dy[:], r_dz[:],
+                ox, oy, oz, r_dx[:], r_dy[:], r_dz[:],
                 r_t0[:], r_t1[:],
                 (flags & 1) == 1,            # active
                 (flags & 2) == 2,            # steep_super (skip supercolumn gate)
@@ -207,8 +309,9 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
             inv_dy = 1.0 / dy
             inv_dz = 1.0 / dz
             found = found_ref[:] == 1
-            ta = (k_plane * inv_n - half - oz) * inv_dz
-            tb = ((k_plane + 1) * inv_n - half - oz) * inv_dz
+            gz = z0 + k_plane  # global z of this slab-local plane
+            ta = (gz * inv_n - half - oz) * inv_dz
+            tb = ((gz + 1) * inv_n - half - oz) * inv_dz
             lo = jnp.maximum(jnp.minimum(ta, tb), t_start)
             hi = jnp.minimum(jnp.maximum(ta, tb), t_end)
             seg_ok = (lo < hi) & ~found & pass_active
@@ -221,16 +324,24 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
             ).astype(_I32)
             bit = fetch_fine_bit(vol, k_plane, cx, cy, seg_ok)
             cand = seg_ok & (bit == 1)
-            if exclude is not None:
+            if exclude is not None and len(exclude) == 3:
                 cand = cand & ~(
                     (cx == exclude[0][:])
                     & (cy == exclude[1][:])
-                    & (k_plane == exclude[2][:])
+                    & (gz == exclude[2][:])
+                )
+            elif exclude is not None:
+                # Packed-id form (x + y·n + z·n²): one scratch ref instead
+                # of three.  Out-of-range excluded coords (the reference's
+                # clamp quirk can yield x == n) produce ids no probe cell
+                # can match — same semantics as the component compare.
+                cand = cand & ~(
+                    (cx + cy * n + gz * (n * n)) == exclude[0][:]
                 )
             # Visible-cube intersection + snap (wgsl:712-729).
             ccx = (cx.astype(_F32) + 0.5) * inv_n - half
             ccy = (cy.astype(_F32) + 0.5) * inv_n - half
-            ccz = (k_plane + 0.5) * inv_n - half
+            ccz = (gz + 0.5) * inv_n - half
             t1x = (ccx - cell_half - ox) * inv_dx
             t2x = (ccx + cell_half - ox) * inv_dx
             t1y = (ccy - cell_half - oy) * inv_dy
@@ -253,38 +364,59 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
             if ages is not None:
                 age = jnp.zeros((SUB, LANE), dtype=_I32)
                 for b_ in range(age_bits):
-                    abit = fetch_fine_bit(ages, b_ * n + k_plane, cx, cy, hit)
+                    abit = fetch_fine_bit(ages, b_ * zext + k_plane, cx, cy, hit)
                     age = age | (abit << b_)
                 age_ref[:] = jnp.where(hit, age, age_ref[:])
+            if nb_ref is not None:
+                # Record the 12 edge-neighbour states of the hit cell for
+                # the indirect bounce (wgsl:307-377).  Gated on any-hit:
+                # each primary ray hits at most once, so across the sweep
+                # this fires only for the few planes that contain hits.
+                # Coordinate wrap replicates get_cell_state's max(·,0) + %n
+                # (intersect.py:102-111).
+                @pl.when(_any(hit))
+                def _(k_plane=k_plane, cx=cx, cy=cy, hit=hit):
+                    bits = jnp.zeros((SUB, LANE), dtype=_I32)
+                    for b_, (ex_, ey_, ez_) in enumerate(_EDGE_OFFSETS):
+                        nz_ = max(k_plane + ez_, 0) % n
+                        nx0 = jnp.maximum(cx + ex_, 0)
+                        nx_ = jnp.where(nx0 >= n, nx0 - n, nx0)
+                        ny0 = jnp.maximum(cy + ey_, 0)
+                        ny_ = jnp.where(ny0 >= n, ny0 - n, ny0)
+                        nbit = fetch_fine_bit(vol, nz_, nx_, ny_, hit)
+                        bits = bits | (nbit << b_)
+                    nb_ref[:] = jnp.where(hit, bits, nb_ref[:])
             found_ref[:] = jnp.where(hit, 1, found_ref[:])
             t_ref[:] = jnp.where(hit, tn, t_ref[:])
             hx_ref[:] = jnp.where(hit, cx, hx_ref[:])
             hy_ref[:] = jnp.where(hit, cy, hy_ref[:])
-            hz_ref[:] = jnp.where(hit, jnp.full((SUB, LANE), k_plane, _I32), hz_ref[:])
+            hz_ref[:] = jnp.where(hit, jnp.full((SUB, LANE), gz, _I32), hz_ref[:])
 
         def column_occ(c_plane: int, ray, pass_active, found):
             """Coarse occupancy candidates for one column (pure vector).
 
-            Conservative-exact: ``coarse`` rows are xy-dilated (one block),
-            and probe spacing over the 8-plane segment is ≤ 2 blocks per
-            xy coordinate whenever |dxy/dz| ≤ 4 — every block the segment
-            touches is Chebyshev-1 from a probe point's block.  Rays
-            steeper than that carry the ``steep_col`` flag and descend
-            unconditionally.
+            Conservative-exact: ``coarse`` rows are x-dilated (one block)
+            and probed at 3 points.  For |dxy/dz| ≤ 2 the spacing between
+            adjacent probes is ≤ 1 block per xy coordinate, so any block
+            the segment touches between two probes shares its y-block with
+            one of them and sits within one x-block of it — covered by the
+            x dilation.  Rays steeper than that carry the ``steep_col``
+            flag and descend unconditionally.
             """
             ox, oy, oz, dx, dy, dz, t_start, t_end = ray[:8]
             steep_col = ray[10]
             inv_dz = 1.0 / dz
-            ta = (c_plane * 8 * inv_n - half - oz) * inv_dz
-            tb = ((c_plane * 8 + 8) * inv_n - half - oz) * inv_dz
+            gz = z0 + c_plane * 8
+            ta = (gz * inv_n - half - oz) * inv_dz
+            tb = ((gz + 8) * inv_n - half - oz) * inv_dz
             lo = jnp.maximum(jnp.minimum(ta, tb), t_start)
             hi = jnp.minimum(jnp.maximum(ta, tb), t_end)
             seg_ok = (lo < hi) & ~found & pass_active
             row_b = _bcast_row(coarse[c_plane : c_plane + 1, :])
             occ = steep_col & seg_ok
             for tprobe in (lo, 0.5 * (lo + hi), hi):
-                bxc = jnp.floor((ox + tprobe * dx + half) * nc).astype(_I32)
-                byc = jnp.floor((oy + tprobe * dy + half) * nc).astype(_I32)
+                bxc = jnp.floor((ox + tprobe * dx + half) * nbk).astype(_I32)
+                byc = jnp.floor((oy + tprobe * dy + half) * nbk).astype(_I32)
                 occ = occ | fetch_coarse_bit(row_b, bxc, byc, seg_ok)
             return occ
 
@@ -301,6 +433,22 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
         GROUP = 4
         zmin = zrange[0]
         zmax = zrange[1]
+
+        # Start-column gating for secondary sweeps (shadow/GI rays start
+        # mid-volume at the lit surface): columns entirely behind every
+        # active lane's origin along the pass direction can never produce
+        # a hit — two scalar reductions kill roughly half the column
+        # probes of each shadow sweep.
+        if accept_far:
+            smin_c = smax_c = None
+        else:
+            act = (r_flags[:] & 1) == 1
+            ozv = r_oz[:]
+            big = jnp.float32(1e9)
+            start_gz = jnp.floor((jnp.where(act, ozv, big).min() + half) * n)
+            smin_c = start_gz.astype(_I32) // 8 - z0 // 8 - 1
+            end_gz = jnp.floor((jnp.where(act, ozv, -big).max() + half) * n)
+            smax_c = end_gz.astype(_I32) // 8 - z0 // 8 + 1
 
         def group_body(cols, direction):
             ray = load_ray()
@@ -338,8 +486,18 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
                     lo_c, hi_c = min(cols), max(cols)
 
                     # Scalar gate: skip groups outside the global occupied
-                    # z-range — exact, free for empty space.
-                    @pl.when((zmax >= lo_c) & (zmin <= hi_c))
+                    # z-range — exact, free for empty space.  Secondary
+                    # sweeps additionally skip groups fully behind the
+                    # rays' start columns for this direction.
+                    gate = (zmax >= lo_c) & (zmin <= hi_c)
+                    if smin_c is not None:
+                        gate = gate & (
+                            (hi_c >= smin_c)
+                            if direction > 0
+                            else (lo_c <= smax_c)
+                        )
+
+                    @pl.when(gate)
                     def _(cols=cols, lo_c=lo_c, hi_c=hi_c, direction=direction):
                         ray = load_ray()
                         ox, oy, oz, dx, dy, dz, t_start, t_end = ray[:8]
@@ -350,16 +508,16 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
                         # the 4-column span; exact thanks to the dilation +
                         # steep-ray force-descend.
                         inv_dz = 1.0 / dz
-                        ta = (lo_c * 8 * inv_n - half - oz) * inv_dz
-                        tb = ((hi_c * 8 + 8) * inv_n - half - oz) * inv_dz
+                        ta = ((z0 + lo_c * 8) * inv_n - half - oz) * inv_dz
+                        tb = ((z0 + hi_c * 8 + 8) * inv_n - half - oz) * inv_dz
                         lo_t = jnp.maximum(jnp.minimum(ta, tb), t_start)
                         hi_t = jnp.minimum(jnp.maximum(ta, tb), t_end)
                         seg2 = (lo_t < hi_t) & ~found_g & pass_active
                         row2 = _bcast_row(coarse2[lo_c // 4 : lo_c // 4 + 1, :])
                         occ2 = jnp.zeros_like(seg2)
                         for tp in (lo_t, 0.5 * (lo_t + hi_t), hi_t):
-                            bxc = jnp.floor((ox + tp * dx + half) * nc).astype(_I32)
-                            byc = jnp.floor((oy + tp * dy + half) * nc).astype(_I32)
+                            bxc = jnp.floor((ox + tp * dx + half) * nbk).astype(_I32)
+                            byc = jnp.floor((oy + tp * dy + half) * nbk).astype(_I32)
                             occ2 = occ2 | fetch_coarse_bit(row2, bxc, byc, seg2)
                         descend = seg2 & (occ2 | steep)
 
@@ -369,44 +527,87 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
 
         return found_ref[:] == 1, t_ref[:], hx_ref[:], hy_ref[:], hz_ref[:]
 
+    return sweep, fetch_fine_bit
+
+
+def _make_kernel(n: int, shadow: bool, width: int, height: int,
+                 age_bits: int = 0, total_states: int = 2,
+                 soft_k: int = 1, indirect: bool = False):
+    """Fused full-volume kernel: primary + shadow sweeps, Cook-Torrance
+    shading, optional soft shadows / one-bounce GI / emissive / ages."""
+    inv_n = 1.0 / n
+    half = 0.5
+    sweep, _ = _make_traversal(n, 0, n, age_bits)
+
     def kernel(cam, zrange, vol, coarse, coarse2, *rest):
-        if age_bits:
-            ages, out_r, out_g, out_b, out_depth, out_idx, \
-                f_a, t_a, hx_a, hy_a, hz_a, f_b, t_b, hx_b, hy_b, hz_b, \
-                r_ox, r_oy, r_oz, r_dx, r_dy, r_dz, r_t0, r_t1, r_flags, \
-                age_ref = rest
+        rest = list(rest)
+        ages = rest.pop(0) if age_bits else None
+        (out_r, out_g, out_b, out_depth, out_idx,
+         f_a, t_a, hx_a, hy_a, hz_a, f_b, t_b, hx_b, hy_b, hz_b,
+         r_ox, r_oy, r_oz, r_dx, r_dy, r_dz, r_t0, r_t1, r_flags) = rest[:24]
+        rest = rest[24:]
+        age_ref = rest.pop(0) if age_bits else None
+        if indirect:
+            nb_ref, acc_r, acc_g, acc_b, ex_id = rest
         else:
-            (out_r, out_g, out_b, out_depth, out_idx,
-             f_a, t_a, hx_a, hy_a, hz_a, f_b, t_b, hx_b, hy_b, hz_b,
-             r_ox, r_oy, r_oz, r_dx, r_dy, r_dz, r_t0, r_t1, r_flags) = rest
-            ages = age_ref = None
+            nb_ref = acc_r = acc_g = acc_b = ex_id = None
+        # Scoped VMEM is tight in the GI/soft variants (the Mosaic stack
+        # alone approaches the 16M limit): the occlusion quotient is parked
+        # in the out_r output block instead of its own scratch ref.
+        occ_acc = out_r if (shadow and (soft_k > 1 or indirect)) else None
         rayrefs = (r_ox, r_oy, r_oz, r_dx, r_dy, r_dz, r_t0, r_t1, r_flags)
         t = pl.program_id(0)
         nbx = (width + BW - 1) // BW
         bx = jnp.mod(t, nbx)
         by = t // nbx
-        lane = jax.lax.broadcasted_iota(_I32, (SUB, LANE), 1)
-        sub = jax.lax.broadcasted_iota(_I32, (SUB, LANE), 0)
-        l = sub * LANE + lane
-        px = bx * BW + jnp.mod(l, BW)
-        py = by * BH + l // BW
-        onscreen = (px < width) & (py < height)
-        px = jnp.minimum(px, width - 1)
-        py = jnp.minimum(py, height - 1)
-
         win_w = cam[P_WIN]
         win_h = cam[P_WIN + 1]
-        ux = (px.astype(_F32) + 0.5) / win_w
-        uy = 1.0 - (py.astype(_F32) + 0.5) / win_h
-        rx = (ux - 0.5) * (win_w / win_h)
-        ry = uy - 0.5
-        rx, ry, rz = _normalize3(rx, ry, jnp.full_like(rx, -0.5 * COT_HALF_FOV))
-        dx = cam[P_R00 + 0] * rx + cam[P_R00 + 1] * ry + cam[P_R00 + 2] * rz
-        dy = cam[P_R00 + 3] * rx + cam[P_R00 + 4] * ry + cam[P_R00 + 5] * rz
-        dz = cam[P_R00 + 6] * rx + cam[P_R00 + 7] * ry + cam[P_R00 + 8] * rz
-        ox = jnp.full((SUB, LANE), cam[P_O + 0], _F32)
-        oy = jnp.full((SUB, LANE), cam[P_O + 1], _F32)
-        oz = jnp.full((SUB, LANE), cam[P_O + 2], _F32)
+
+        def pixel_rays():
+            """Recompute the per-pixel camera ray from iotas + scalars.
+
+            Pure vector math with an empty live set — called after each
+            sweep instead of keeping ray values live across the sweep's
+            conditional regions (which would spill/fill around every
+            branch)."""
+            lane = jax.lax.broadcasted_iota(_I32, (SUB, LANE), 1)
+            sub = jax.lax.broadcasted_iota(_I32, (SUB, LANE), 0)
+            l = sub * LANE + lane
+            px = bx * BW + jnp.mod(l, BW)
+            py = by * BH + l // BW
+            onscreen = (px < width) & (py < height)
+            px = jnp.minimum(px, width - 1)
+            py = jnp.minimum(py, height - 1)
+            ux = (px.astype(_F32) + 0.5) / win_w
+            # row0 ≠ 0 when this invocation renders a row shard of a larger
+            # window (mesh mode): uv must be global.
+            uy = 1.0 - (py.astype(_F32) + cam[P_ROW0] + 0.5) / win_h
+            rx = (ux - 0.5) * (win_w / win_h)
+            ry = uy - 0.5
+            rx, ry, rz = _normalize3(
+                rx, ry, jnp.full_like(rx, -0.5 * COT_HALF_FOV)
+            )
+            dx = cam[P_R00 + 0] * rx + cam[P_R00 + 1] * ry + cam[P_R00 + 2] * rz
+            dy = cam[P_R00 + 3] * rx + cam[P_R00 + 4] * ry + cam[P_R00 + 5] * rz
+            dz = cam[P_R00 + 6] * rx + cam[P_R00 + 7] * ry + cam[P_R00 + 8] * rz
+            return ux, uy, dx, dy, dz, onscreen
+
+        def cam_origin():
+            return (
+                jnp.full((SUB, LANE), cam[P_O + 0], _F32),
+                jnp.full((SUB, LANE), cam[P_O + 1], _F32),
+                jnp.full((SUB, LANE), cam[P_O + 2], _F32),
+            )
+
+        def hit_point():
+            """Primary hit point from the sweep-A refs (recompute, no spills)."""
+            _, _, dx, dy, dz, _ = pixel_rays()
+            ox, oy, oz = cam_origin()
+            th = t_ref_a()
+            return ox + th * dx, oy + th * dy, oz + th * dz
+
+        def t_ref_a():
+            return t_a[:]
 
         def vol_slab(o, d):
             inv = 1.0 / d
@@ -414,116 +615,324 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
             t2 = (half - o) * inv
             return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
 
-        def store_ray(ox, oy, oz, dx, dy, dz, t0, t1, active):
-            r_ox[:] = ox
-            r_oy[:] = oy
-            r_oz[:] = oz
-            r_dx[:] = dx
-            r_dy[:] = dy
-            r_dz[:] = dz
-            r_t0[:] = t0
-            r_t1[:] = t1
-            # Exactness thresholds (see column_occ): the supercolumn's
-            # 3-point probe over a 4-column (32-plane) span is conservative
-            # for |dxy/dz| ≤ 1; the per-column probe for |dxy/dz| ≤ 4.
-            adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
-            steep_super = (adx > adz) | (ady > adz)
-            steep_col = (adx > 4.0 * adz) | (ady > 4.0 * adz)
-            r_flags[:] = (
-                active.astype(_I32)
-                | (steep_super.astype(_I32) << 1)
-                | (steep_col.astype(_I32) << 2)
+        mcr, mcg, mcb = cam[P_MATC], cam[P_MATC + 1], cam[P_MATC + 2]
+        use_mat = (mcr != 0.0) | (mcg != 0.0) | (mcb != 0.0)
+
+        def albedo_from(cxv, cyv):
+            """Position-derived rainbow unless materialColor ≠ 0 (wgsl:598-603)."""
+            cxn = cxv * inv_n
+            cyn = cyv * inv_n
+            return (
+                jnp.where(use_mat, mcr, cxn),
+                jnp.where(use_mat, mcg, cyn),
+                jnp.where(use_mat, mcb, 1.0 - cxn),
             )
 
-        nx_, fx_ = vol_slab(ox, dx)
-        ny_, fy_ = vol_slab(oy, dy)
-        nz_, fz_ = vol_slab(oz, dz)
+        def shade(qx, qy, qz, cox, coy, coz, alr, alg, alb,
+                  vwx, vwy, vwz, lpx, lpy, lpz, lr, lg, lb):
+            """Cook-Torrance direct lighting (wgsl:537-633) at surface point
+            q of the cell centered at co, viewed from vw, lit by a point
+            source at lp with per-channel radiance (lr, lg, lb)."""
+            fxo, fyo, fzo = qx - cox, qy - coy, qz - coz
+            ax_, ay_, az_ = jnp.abs(fxo), jnp.abs(fyo), jnp.abs(fzo)
+            m = jnp.maximum(jnp.maximum(ax_, ay_), az_)
+            is_x = ax_ == m
+            is_y = (ay_ == m) & ~is_x
+            is_z = ~is_x & ~is_y
+            nxn = jnp.where(is_x, jnp.sign(fxo), 0.0)
+            nyn = jnp.where(is_y, jnp.sign(fyo), 0.0)
+            nzn = jnp.where(is_z, jnp.sign(fzo), 0.0)
+            ldx, ldy, ldz = _normalize3(lpx - qx, lpy - qy, lpz - qz)
+            vx, vy, vz = _normalize3(vwx - qx, vwy - qy, vwz - qz)
+            hwx, hwy, hwz = _normalize3(ldx + vx, ldy + vy, ldz + vz)
+            rough = cam[P_ROUGH]
+            a2 = rough * rough
+            noh = nxn * hwx + nyn * hwy + nzn * hwz
+            fterm = noh * noh * (a2 - 1.0) + 1.0
+            dterm = a2 / (PI * fterm * fterm)
+            kd = (rough + 1.0) * (rough + 1.0) / 8.0
+            nov = jnp.maximum(0.0, nxn * vx + nyn * vy + nzn * vz)
+            nol_c = jnp.maximum(0.0, nxn * ldx + nyn * ldy + nzn * ldz)
+            gterm = (nov / (nov * (1.0 - kd) + kd)) * (
+                nol_c / (nol_c * (1.0 - kd) + kd)
+            )
+            hv = hwx * vx + hwy * vy + hwz * vz
+            p5 = (1.0 - hv) ** 5
+            fr = cam[P_REFL] + (1.0 - cam[P_REFL]) * p5
+            fg = cam[P_REFL + 1] + (1.0 - cam[P_REFL + 1]) * p5
+            fb = cam[P_REFL + 2] + (1.0 - cam[P_REFL + 2]) * p5
+            denom = 4.0 * (vx * nxn + vy * nyn + vz * nzn) * (
+                ldx * nxn + ldy * nyn + ldz * nzn
+            )
+            nol = ldx * nxn + ldy * nyn + ldz * nzn  # un-clamped (wgsl:623)
+            spec = dterm * gterm / denom
+            return (
+                jnp.maximum(0.0, (alr / PI + spec * fr) * lr * nol),
+                jnp.maximum(0.0, (alg / PI + spec * fg) * lg * nol),
+                jnp.maximum(0.0, (alb / PI + spec * fb) * lb * nol),
+            )
+
+        def store_ray(ox, oy, oz, dx, dy, dz, t0, t1, active):
+            _store_ray(rayrefs, ox, oy, oz, dx, dy, dz, t0, t1, active)
+
+        cell_half = inv_n * cam[P_CELLMUL] * 0.5
+        lpx, lpy, lpz = cam[P_LIGHT], cam[P_LIGHT + 1], cam[P_LIGHT + 2]
+
+        def cell_center(hxv, hyv, hzv):
+            return (
+                (hxv.astype(_F32) + 0.5) * inv_n - half,
+                (hyv.astype(_F32) + 0.5) * inv_n - half,
+                (hzv.astype(_F32) + 0.5) * inv_n - half,
+            )
+
+        def shadow_sweep(sx, sy, sz, tox, toy, toz, active_m):
+            """One occlusion sweep from point s toward point `to` using the
+            B refs; exclusion cells must already be in the ex refs (or the
+            primary-hit refs when ``exclude_primary``).  Returns the 0.0095
+            occlusion quotient (wgsl:635-680)."""
+            sdx, sdy, sdz = _normalize3(tox - sx, toy - sy, toz - sz)
+            _, sfx = vol_slab(sx, sdx)
+            _, sfy = vol_slab(sy, sdy)
+            _, sfz = vol_slab(sz, sdz)
+            sh_tf = jnp.minimum(jnp.minimum(sfx, sfy), sfz)
+            store_ray(sx, sy, sz, sdx, sdy, sdz, jnp.zeros_like(sh_tf),
+                      sh_tf, active_m)
+
+        # ---- primary sweep ------------------------------------------------
+        ux0, uy0, dx0, dy0, dz0, onscreen = pixel_rays()
+        ox0, oy0, oz0 = cam_origin()
+        nx_, fx_ = vol_slab(ox0, dx0)
+        ny_, fy_ = vol_slab(oy0, dy0)
+        nz_, fz_ = vol_slab(oz0, dz0)
         tn = jnp.maximum(jnp.maximum(nx_, ny_), nz_)
         tf = jnp.minimum(jnp.minimum(fx_, fy_), fz_)
         active = (tn <= tf) & (tf >= 0.0) & onscreen
         t_start = jnp.maximum(tn, 0.0)
+        # Volume exit distance for missed rays — written to out_depth right
+        # after the primary sweep so it does not stay live across the
+        # shadow/GI sweeps.
+        tf_miss = jnp.where(active, tf, 0.0)
 
-        cell_half = inv_n * cam[P_CELLMUL] * 0.5
         if age_ref is not None:
             age_ref[:] = jnp.full((SUB, LANE), 1, _I32)
-        store_ray(ox, oy, oz, dx, dy, dz, t_start, tf, active)
+        if nb_ref is not None:
+            nb_ref[:] = jnp.zeros((SUB, LANE), _I32)
+        store_ray(ox0, oy0, oz0, dx0, dy0, dz0, t_start, tf, active)
         found, t_hit, hx, hy, hz = sweep(
             vol, coarse, coarse2, zrange, (f_a, t_a, hx_a, hy_a, hz_a),
             rayrefs, cell_half, None, True, ages=ages, age_ref=age_ref,
+            nb_ref=nb_ref,
+            scalar_origin=(cam[P_O], cam[P_O + 1], cam[P_O + 2]),
+        )
+        out_depth[:] = jnp.where(found, t_hit, tf_miss)
+        out_idx[:] = jnp.where(
+            found, hx + hy * n + hz * n * n, jnp.full((SUB, LANE), -1, _I32)
         )
 
-        qx = ox + t_hit * dx
-        qy = oy + t_hit * dy
-        qz = oz + t_hit * dz
-
-        ldx, ldy, ldz = _normalize3(
-            cam[P_LIGHT + 0] - qx, cam[P_LIGHT + 1] - qy, cam[P_LIGHT + 2] - qz
-        )
-        if shadow:
-            snx, sfx = vol_slab(qx, ldx)
-            sny, sfy = vol_slab(qy, ldy)
-            snz, sfz = vol_slab(qz, ldz)
-            sh_tf = jnp.minimum(jnp.minimum(sfx, sfy), sfz)
-            store_ray(qx, qy, qz, ldx, ldy, ldz, jnp.zeros_like(sh_tf), sh_tf, found)
+        # ---- direct shadow(s) --------------------------------------------
+        if shadow and soft_k <= 1:
+            qx, qy, qz = (
+                ox0 + t_hit * dx0, oy0 + t_hit * dy0, oz0 + t_hit * dz0
+            )
+            shadow_sweep(qx, qy, qz, lpx, lpy, lpz, found)
             occluded, _, _, _, _ = sweep(
                 vol, coarse, coarse2, zrange, (f_b, t_b, hx_b, hy_b, hz_b),
                 rayrefs, cell_half, (hx_a, hy_a, hz_a), False,
             )
             occl = jnp.where(occluded, jnp.float32(0.0095), jnp.float32(1.0))
+        elif shadow:
+            # Soft shadows (extension, mirrors renderer.py:212-224): average
+            # the occlusion quotient over jittered light positions on a
+            # sphere of radius light_radius, jitter from the reference's
+            # sin-fract hash (n1rand, wgsl:171-180).
+            occ_acc[:] = jnp.zeros((SUB, LANE), _F32)
+            tfrac = cam[P_TIME] - jnp.floor(cam[P_TIME])
+            for kk in range(soft_k):
+                ux, uy, dx, dy, dz = pixel_rays()[:5]
+                ox, oy, oz = cam_origin()
+                th = t_ref_a()
+                qx, qy, qz = ox + th * dx, oy + th * dy, oz + th * dz
+
+                def j1(cst):
+                    ax = 0.07 * tfrac + ux + cst
+                    ay = 0.07 * tfrac + uy + cst
+                    v = jnp.sin(ax * 12.9898 + ay * 78.233) * 43758.5453
+                    return (v - jnp.floor(v)) - 0.5
+
+                rad2 = 2.0 * cam[P_LRAD]
+                jx = j1(jnp.float32(0.17 * kk + 0.05)) * rad2
+                jy = j1(jnp.float32(0.29 * kk + 0.11)) * rad2
+                jz = j1(jnp.float32(0.41 * kk + 0.23)) * rad2
+                shadow_sweep(qx, qy, qz, lpx + jx, lpy + jy, lpz + jz,
+                             f_a[:] == 1)
+                occluded, _, _, _, _ = sweep(
+                    vol, coarse, coarse2, zrange,
+                    (f_b, t_b, hx_b, hy_b, hz_b),
+                    rayrefs, cell_half, (hx_a, hy_a, hz_a), False,
+                )
+                occ_acc[:] = occ_acc[:] + jnp.where(
+                    occluded, jnp.float32(0.0095), jnp.float32(1.0)
+                )
+            occl = occ_acc[:] * jnp.float32(1.0 / soft_k)
         else:
             occl = jnp.ones((SUB, LANE), _F32)
+        if occ_acc is not None:
+            # Park the occlusion quotient in scratch so it does not stay
+            # live (spilled/filled) across the indirect sweeps below.
+            occ_acc[:] = occl
 
-        # ---- Cook-Torrance direct lighting (wgsl:537-633) ----------------
-        cox = (hx.astype(_F32) + 0.5) * inv_n - half
-        coy = (hy.astype(_F32) + 0.5) * inv_n - half
-        coz = (hz.astype(_F32) + 0.5) * inv_n - half
-        fxo, fyo, fzo = qx - cox, qy - coy, qz - coz
-        ax_, ay_, az_ = jnp.abs(fxo), jnp.abs(fyo), jnp.abs(fzo)
-        m = jnp.maximum(jnp.maximum(ax_, ay_), az_)
-        is_x = ax_ == m
-        is_y = (ay_ == m) & ~is_x
-        is_z = ~is_x & ~is_y
-        nxn = jnp.where(is_x, jnp.sign(fxo), 0.0)
-        nyn = jnp.where(is_y, jnp.sign(fyo), 0.0)
-        nzn = jnp.where(is_z, jnp.sign(fzo), 0.0)
+        # ---- indirect bounce (wgsl:307-377; renderer.py:283-350) ----------
+        if indirect:
+            acc_r[:] = jnp.zeros((SUB, LANE), _F32)
+            acc_g[:] = jnp.zeros((SUB, LANE), _F32)
+            acc_b[:] = jnp.zeros((SUB, LANE), _F32)
 
-        mcr, mcg, mcb = cam[P_MATC], cam[P_MATC + 1], cam[P_MATC + 2]
-        use_mat = (mcr != 0.0) | (mcg != 0.0) | (mcb != 0.0)
-        cxn = hx.astype(_F32) * inv_n
-        cyn = hy.astype(_F32) * inv_n
-        alr = jnp.where(use_mat, mcr, cxn)
-        alg = jnp.where(use_mat, mcg, cyn)
-        alb = jnp.where(use_mat, mcb, 1.0 - cxn)
+            def face_index():
+                """Hit-face index (-x,+x,-y,+y,-z,+z → 0..5) from the hit
+                point's offset against the cell center (cube_face_normal)."""
+                _, _, dx, dy, dz, _ = pixel_rays()
+                ox, oy, oz = cam_origin()
+                th = t_ref_a()
+                qx, qy, qz = ox + th * dx, oy + th * dy, oz + th * dz
+                cox, coy, coz = cell_center(hx_a[:], hy_a[:], hz_a[:])
+                fxo, fyo, fzo = qx - cox, qy - coy, qz - coz
+                ax_, ay_, az_ = jnp.abs(fxo), jnp.abs(fyo), jnp.abs(fzo)
+                m = jnp.maximum(jnp.maximum(ax_, ay_), az_)
+                is_x = ax_ == m
+                is_y = (ay_ == m) & ~is_x
+                return jnp.where(
+                    is_x,
+                    jnp.where(fxo < 0, 0, 1),
+                    jnp.where(
+                        is_y,
+                        jnp.where(fyo < 0, 2, 3),
+                        jnp.where(fzo < 0, 4, 5),
+                    ),
+                ).astype(_I32), (qx, qy, qz)
 
-        vx, vy, vz = _normalize3(ox - qx, oy - qy, oz - qz)
-        hwx, hwy, hwz = _normalize3(ldx + vx, ldy + vy, ldz + vz)
-        rough = cam[P_ROUGH]
-        a2 = rough * rough
-        noh = nxn * hwx + nyn * hwy + nzn * hwz
-        fterm = noh * noh * (a2 - 1.0) + 1.0
-        dterm = a2 / (PI * fterm * fterm)
-        kd = (rough + 1.0) * (rough + 1.0) / 8.0
-        nov = jnp.maximum(0.0, nxn * vx + nyn * vy + nzn * vz)
-        nol_c = jnp.maximum(0.0, nxn * ldx + nyn * ldy + nzn * ldz)
-        gterm = (nov / (nov * (1.0 - kd) + kd)) * (nol_c / (nol_c * (1.0 - kd) + kd))
-        hv = hwx * vx + hwy * vy + hwz * vz
-        p5 = (1.0 - hv) ** 5
-        fr = cam[P_REFL] + (1.0 - cam[P_REFL]) * p5
-        fg = cam[P_REFL + 1] + (1.0 - cam[P_REFL + 1]) * p5
-        fb = cam[P_REFL + 2] + (1.0 - cam[P_REFL + 2]) * p5
-        denom = 4.0 * (vx * nxn + vy * nyn + vz * nzn) * (
-            ldx * nxn + ldy * nyn + ldz * nzn
-        )
-        nol = ldx * nxn + ldy * nyn + ldz * nzn  # un-clamped (wgsl:623)
-        spec = dterm * gterm / denom
+            def slot_geometry(slot):
+                """Per-lane neighbour offset, state bit and cube hit for one
+                indirect slot; recomputed from refs (empty live set)."""
+                face, (qx, qy, qz) = face_index()
+                offx = jnp.zeros((SUB, LANE), _F32)
+                offy = jnp.zeros((SUB, LANE), _F32)
+                offz = jnp.zeros((SUB, LANE), _F32)
+                bitsel = jnp.zeros((SUB, LANE), _I32)
+                for f in range(6):
+                    b = _LAYER_BIT[f][slot]
+                    exo, eyo, ezo = _EDGE_OFFSETS[b]
+                    sel = face == f
+                    offx = jnp.where(sel, jnp.float32(exo), offx)
+                    offy = jnp.where(sel, jnp.float32(eyo), offy)
+                    offz = jnp.where(sel, jnp.float32(ezo), offz)
+                    bitsel = jnp.where(sel, b, bitsel)
+                n_bit = jnp.bitwise_and(
+                    jax.lax.shift_right_logical(
+                        nb_ref[:].astype(_U32), bitsel.astype(_U32)
+                    ).astype(_I32),
+                    1,
+                )
+                # Neighbour cube (origin from UNclamped coords, as in the
+                # reference; albedo/exclusion coords clamped at 0 below).
+                nxc = hx_a[:].astype(_F32) + offx
+                nyc = hy_a[:].astype(_F32) + offy
+                nzc = hz_a[:].astype(_F32) + offz
+                ncx = (nxc + 0.5) * inv_n - half
+                ncy = (nyc + 0.5) * inv_n - half
+                ncz = (nzc + 0.5) * inv_n - half
+                t1x = (ncx - cell_half - qx) / offx
+                t2x = (ncx + cell_half - qx) / offx
+                t1y = (ncy - cell_half - qy) / offy
+                t2y = (ncy + cell_half - qy) / offy
+                t1z = (ncz - cell_half - qz) / offz
+                t2z = (ncz + cell_half - qz) / offz
+                tnn = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                    jnp.minimum(t1z, t2z),
+                )
+                tff = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                    jnp.maximum(t1z, t2z),
+                )
+                ok = (
+                    (f_a[:] == 1) & (n_bit == 1) & (tnn <= tff) & (tff >= 0.0)
+                )
+                npx = qx + offx * tnn
+                npy = qy + offy * tnn
+                npz = qz + offz * tnn
+                return (qx, qy, qz), (nxc, nyc, nzc), (ncx, ncy, ncz), \
+                    (npx, npy, npz), ok
+
+            for slot in range(4):
+                geo = slot_geometry(slot)
+                (qx, qy, qz), (nxc, nyc, nzc), _, (npx, npy, npz), ok = geo
+                # Exclude the neighbour cell from its own shadow sweep
+                # (start-cell exclusion, wgsl:665-674; coords clamped at 0
+                # like renderer.py:310), packed into one id ref.
+                ex_id[:] = (
+                    jnp.maximum(nxc, 0.0).astype(_I32)
+                    + jnp.maximum(nyc, 0.0).astype(_I32) * n
+                    + jnp.maximum(nzc, 0.0).astype(_I32) * (n * n)
+                )
+                shadow_sweep(npx, npy, npz, lpx, lpy, lpz, ok)
+                n_occluded, _, _, _, _ = sweep(
+                    vol, coarse, coarse2, zrange,
+                    (f_b, t_b, hx_b, hy_b, hz_b),
+                    rayrefs, cell_half, (ex_id,), False,
+                )
+                # Recompute geometry post-sweep (refs survived, values not).
+                geo = slot_geometry(slot)
+                (qx, qy, qz), (nxc, nyc, nzc), (ncx, ncy, ncz), \
+                    (npx, npy, npz), ok = geo
+                n_occl = jnp.where(
+                    n_occluded, jnp.float32(0.0095), jnp.float32(1.0)
+                )
+                n_alr, n_alg, n_alb = albedo_from(
+                    jnp.maximum(nxc, 0.0), jnp.maximum(nyc, 0.0)
+                )
+                lmag = cam[P_LMAG]
+                rr, rg, rb = shade(
+                    npx, npy, npz, ncx, ncy, ncz, n_alr, n_alg, n_alb,
+                    qx, qy, qz, lpx, lpy, lpz, lmag, lmag, lmag,
+                )
+                emis = cam[P_EMISS]
+                rr = n_occl * rr + cam[P_EMIS] * emis
+                rg = n_occl * rg + cam[P_EMIS + 1] * emis
+                rb = n_occl * rb + cam[P_EMIS + 2] * emis
+                cox, coy, coz = cell_center(hx_a[:], hy_a[:], hz_a[:])
+                alr, alg, alb = albedo_from(
+                    hx_a[:].astype(_F32), hy_a[:].astype(_F32)
+                )
+                ox, oy, oz = cam_origin()
+                br, bg, bb = shade(
+                    qx, qy, qz, cox, coy, coz, alr, alg, alb,
+                    ox, oy, oz, npx, npy, npz, rr, rg, rb,
+                )
+                acc_r[:] = acc_r[:] + jnp.where(ok, br, 0.0)
+                acc_g[:] = acc_g[:] + jnp.where(ok, bg, 0.0)
+                acc_b[:] = acc_b[:] + jnp.where(ok, bb, 0.0)
+
+        # ---- direct lighting + composition --------------------------------
+        _, _, dxf, dyf, dzf, _ = pixel_rays()
+        oxf, oyf, ozf = cam_origin()
+        found = f_a[:] == 1
+        thf = t_ref_a()
+        qx, qy, qz = oxf + thf * dxf, oyf + thf * dyf, ozf + thf * dzf
+        hxv, hyv, hzv = hx_a[:], hy_a[:], hz_a[:]
+        cox, coy, coz = cell_center(hxv, hyv, hzv)
+        alr, alg, alb = albedo_from(hxv.astype(_F32), hyv.astype(_F32))
         lmag = cam[P_LMAG]
-        out_rv = jnp.maximum(0.0, (alr / PI + spec * fr) * lmag * nol)
-        out_gv = jnp.maximum(0.0, (alg / PI + spec * fg) * lmag * nol)
-        out_bv = jnp.maximum(0.0, (alb / PI + spec * fb) * lmag * nol)
+        out_rv, out_gv, out_bv = shade(
+            qx, qy, qz, cox, coy, coz, alr, alg, alb,
+            oxf, oyf, ozf, lpx, lpy, lpz, lmag, lmag, lmag,
+        )
 
+        if occ_acc is not None:
+            occl = occ_acc[:]
         if age_bits:
             # Age-mapped fade for multi-state rules (matches the reference
-            # pipeline's extension: dying cells dim linearly with age).
+            # pipeline's extension: dying cells dim linearly with age);
+            # fades the direct term only, like renderer.py:249-256.
             fade = jnp.clip(
                 (total_states - age_ref[:]).astype(_F32)
                 / jnp.float32(total_states - 1),
@@ -531,13 +940,22 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
                 1.0,
             )
             occl = occl * fade
-        out_r[:] = jnp.where(found, out_rv * occl, 0.0)
-        out_g[:] = jnp.where(found, out_gv * occl, 0.0)
-        out_b[:] = jnp.where(found, out_bv * occl, 0.0)
-        out_depth[:] = jnp.where(found, t_hit, jnp.where(active, tf, 0.0))
-        out_idx[:] = jnp.where(
-            found, hx + hy * n + hz * n * n, jnp.full((SUB, LANE), -1, _I32)
-        )
+        out_rv = out_rv * occl
+        out_gv = out_gv * occl
+        out_bv = out_bv * occl
+        if indirect:
+            out_rv = out_rv + acc_r[:]
+            out_gv = out_gv + acc_g[:]
+            out_bv = out_bv + acc_b[:]
+        # Emissive cells: surfaces add their own radiance, neither shadowed
+        # nor faded (renderer.py:263-264).
+        emis = cam[P_EMISS]
+        out_rv = out_rv + cam[P_EMIS] * emis
+        out_gv = out_gv + cam[P_EMIS + 1] * emis
+        out_bv = out_bv + cam[P_EMIS + 2] * emis
+        out_r[:] = jnp.where(found, out_rv, 0.0)
+        out_g[:] = jnp.where(found, out_gv, 0.0)
+        out_b[:] = jnp.where(found, out_bv, 0.0)
 
     return kernel
 
@@ -545,7 +963,8 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "grid_size", "width", "height", "shadow", "interpret", "total_states"
+        "grid_size", "width", "height", "shadow", "interpret", "total_states",
+        "soft_shadow_samples", "indirect", "_column_dilate",
     ),
 )
 def raytrace_tiles(
@@ -560,6 +979,9 @@ def raytrace_tiles(
     shadow: bool = True,
     interpret: bool = False,
     total_states: int = 2,
+    soft_shadow_samples: int = 1,
+    indirect: bool = False,
+    _column_dilate: bool = True,  # perf-attribution toggle; True = exact
 ):
     """Trace all pixels: (light_rgb [H,W,3], depth [H,W], hit_idx [H,W])."""
     if grid_size > 256:
@@ -569,13 +991,17 @@ def raytrace_tiles(
     # z-major 2D layout: slab loads become leading-dim dynamic slices.
     vol2d = jnp.pad(vol, ((0, 0), (0, 0), (0, y_pad - n))).transpose(1, 0, 2)
     vol2d = vol2d.reshape(n, (n // 32) * (y_pad // LANE), LANE)
-    # The kernel probes per-column occupancy against xy-dilated rows —
-    # paired with the ≤2-block probe spacing this makes the column-level
-    # skip conservative-exact (see column_occ).  The undilated rows still
-    # feed coarse2 and the z-range gate below.
+    # The kernel probes per-column occupancy against x-dilated rows with
+    # 5 probe points — conservative-exact for |dxy/dz| ≤ 4 (see
+    # column_occ).  The undilated rows still feed coarse2 and the z-range
+    # gate below.
     from ..ops.occupancy import dilate_occupancy
 
-    coarse_col = dilate_occupancy(coarse, dilate_z=False)
+    coarse_col = (
+        dilate_occupancy(coarse, dilate_z=False, dilate_y=False)
+        if _column_dilate
+        else coarse
+    )
     if coarse_col.shape[1] < LANE:
         coarse_col = jnp.pad(coarse_col, ((0, 0), (0, LANE - coarse_col.shape[1])))
     age_bits = 0 if ages is None else int(ages.shape[0])
@@ -587,7 +1013,10 @@ def raytrace_tiles(
     nbx = pl.cdiv(width, BW)
     nby = pl.cdiv(height, BH)
     tiles = nbx * nby
-    kernel = _make_kernel(grid_size, shadow, width, height, age_bits, total_states)
+    kernel = _make_kernel(
+        grid_size, shadow, width, height, age_bits, total_states,
+        soft_k=soft_shadow_samples, indirect=indirect,
+    )
 
     out_shape = [
         jax.ShapeDtypeStruct((tiles * SUB, LANE), jnp.float32),
@@ -651,6 +1080,12 @@ def raytrace_tiles(
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         inputs.append(ages2d)
         scratch.append(pltpu.VMEM((SUB, LANE), jnp.int32))  # age_ref
+    if indirect:
+        scratch.append(pltpu.VMEM((SUB, LANE), jnp.int32))    # nb_ref
+        scratch.append(pltpu.VMEM((SUB, LANE), jnp.float32))  # acc_r
+        scratch.append(pltpu.VMEM((SUB, LANE), jnp.float32))  # acc_g
+        scratch.append(pltpu.VMEM((SUB, LANE), jnp.float32))  # acc_b
+        scratch.append(pltpu.VMEM((SUB, LANE), jnp.int32))    # ex_id
     r, g, b, depth, idx = pl.pallas_call(
         kernel,
         grid=(tiles,),

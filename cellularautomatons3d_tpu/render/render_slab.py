@@ -1,0 +1,488 @@
+"""Sliced fast path: z-slab DDA kernels + XLA composite for grids > 256³.
+
+The fused kernel (render_fast.py) keeps the whole bit-packed volume in
+VMEM — possible up to 256³ (2 MiB).  Beyond that (the reference renders up
+to 1024³ on one GPU, main_pathtraced.js:274-277) the volume is decomposed
+into z-slabs that each fit VMEM; every slab runs the same exact
+coarse→fine DDA (shared traversal machinery, render_fast._make_traversal)
+and XLA composites:
+
+* primary pass: one kernel per slab returns (t, cell id) of the slab-local
+  first hit; the global first hit is the min-t over slabs that found one —
+  correct for any ray direction because cells in different slabs are
+  disjoint.
+* shading: Cook-Torrance BRDF in plain XLA, reusing the exact pipeline's
+  `brdf.calculate_lighting_at` (which the fused kernel's in-register
+  shading was validated against) — elementwise over 2M pixels, a
+  negligible cost next to the sweeps.
+* shadows: per-pixel shadow rays from the composited hit point run one
+  occlusion kernel per slab; global occlusion = OR over slabs.  Soft
+  shadows jitter the light target per sample exactly like the fused path.
+
+Indirect lighting (one-bounce GI) is currently fused-path only (≤ 256³):
+its neighbour recording needs z±1 planes around each hit, which crosses
+slab boundaries.
+
+Slab extent: ≤ 8 MiB of packed words per slab (256 planes at 512³), in
+multiples of 32 planes so the supercolumn grouping stays aligned.  The
+coarse occupancy row layout supports up to 512³ (XG·Yc ≤ 128 lanes,
+ops/occupancy.py); 1024³ falls back to the exact pipeline for now.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.occupancy import coarse_occupancy, dilate_occupancy
+from .render_fast import (
+    BH,
+    BW,
+    COT_HALF_FOV,
+    LANE,
+    P_CELLMUL,
+    P_LIGHT,
+    P_LMAG,
+    P_LRAD,
+    P_MATC,
+    P_O,
+    P_R00,
+    P_REFL,
+    P_ROUGH,
+    P_ROW0,
+    P_TIME,
+    P_WIN,
+    SUB,
+    _make_traversal,
+    _store_ray,
+)
+
+__all__ = ["raytrace_sliced", "MAX_SLICED_GRID", "slab_extent"]
+
+_F32 = jnp.float32
+_I32 = jnp.int32
+
+MAX_SLICED_GRID = 512  # coarse-row lane budget (ops/occupancy.py)
+_SLAB_BYTES = 8 * 2**20  # VMEM budget for one slab's packed words
+
+
+def slab_extent(n: int) -> int:
+    """Planes per slab: ≤ 8 MiB of packed words, multiple of 32."""
+    plane_bytes = (n // 32) * n * 4
+    ze = max(32, min(n, (_SLAB_BYTES // plane_bytes) // 32 * 32))
+    return ze
+
+
+def _pixel_rays_kernel(cam, width, height):
+    """Per-pixel camera ray inside a kernel (iotas + SMEM scalars)."""
+    t = pl.program_id(0)
+    nbx = (width + BW - 1) // BW
+    bx = jnp.mod(t, nbx)
+    by = t // nbx
+    lane = jax.lax.broadcasted_iota(_I32, (SUB, LANE), 1)
+    sub = jax.lax.broadcasted_iota(_I32, (SUB, LANE), 0)
+    l = sub * LANE + lane
+    px = bx * BW + jnp.mod(l, BW)
+    py = by * BH + l // BW
+    onscreen = (px < width) & (py < height)
+    px = jnp.minimum(px, width - 1)
+    py = jnp.minimum(py, height - 1)
+    win_w = cam[P_WIN]
+    win_h = cam[P_WIN + 1]
+    ux = (px.astype(_F32) + 0.5) / win_w
+    uy = 1.0 - (py.astype(_F32) + cam[P_ROW0] + 0.5) / win_h
+    rx = (ux - 0.5) * (win_w / win_h)
+    ry = uy - 0.5
+    inv = jax.lax.rsqrt(rx * rx + ry * ry + 0.25 * COT_HALF_FOV * COT_HALF_FOV)
+    rx, ry, rz = rx * inv, ry * inv, -0.5 * COT_HALF_FOV * inv
+    dx = cam[P_R00 + 0] * rx + cam[P_R00 + 1] * ry + cam[P_R00 + 2] * rz
+    dy = cam[P_R00 + 3] * rx + cam[P_R00 + 4] * ry + cam[P_R00 + 5] * rz
+    dz = cam[P_R00 + 6] * rx + cam[P_R00 + 7] * ry + cam[P_R00 + 8] * rz
+    return dx, dy, dz, onscreen
+
+
+def _make_primary_kernel(n, z0, zext, width, height, age_bits):
+    sweep, _ = _make_traversal(n, z0, zext, age_bits)
+    inv_n = 1.0 / n
+    half = 0.5
+
+    def kernel(cam, zrange, vol, coarse, coarse2, *rest):
+        rest = list(rest)
+        ages = rest.pop(0) if age_bits else None
+        out_t, out_idx = rest[:2]
+        rest = rest[2:]
+        out_age = rest.pop(0) if age_bits else None
+        (f_a, t_a, hx_a, hy_a, hz_a,
+         r_ox, r_oy, r_oz, r_dx, r_dy, r_dz, r_t0, r_t1, r_flags) = rest[:14]
+        age_ref = rest[14] if age_bits else None
+        rayrefs = (r_ox, r_oy, r_oz, r_dx, r_dy, r_dz, r_t0, r_t1, r_flags)
+
+        dx, dy, dz, onscreen = _pixel_rays_kernel(cam, width, height)
+        ox = jnp.full((SUB, LANE), cam[P_O + 0], _F32)
+        oy = jnp.full((SUB, LANE), cam[P_O + 1], _F32)
+        oz = jnp.full((SUB, LANE), cam[P_O + 2], _F32)
+
+        def slab(o, d):
+            invd = 1.0 / d
+            t1 = (-half - o) * invd
+            t2 = (half - o) * invd
+            return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+        nx_, fx_ = slab(ox, dx)
+        ny_, fy_ = slab(oy, dy)
+        nz_, fz_ = slab(oz, dz)
+        tn = jnp.maximum(jnp.maximum(nx_, ny_), nz_)
+        tf = jnp.minimum(jnp.minimum(fx_, fy_), fz_)
+        active = (tn <= tf) & (tf >= 0.0) & onscreen
+        t_start = jnp.maximum(tn, 0.0)
+
+        cell_half = inv_n * cam[P_CELLMUL] * 0.5
+        if age_ref is not None:
+            age_ref[:] = jnp.full((SUB, LANE), 1, _I32)
+        _store_ray(rayrefs, ox, oy, oz, dx, dy, dz, t_start, tf, active)
+        found, t_hit, hx, hy, hz = sweep(
+            vol, coarse, coarse2, zrange, (f_a, t_a, hx_a, hy_a, hz_a),
+            rayrefs, cell_half, None, True, ages=ages, age_ref=age_ref,
+            scalar_origin=(cam[P_O + 0], cam[P_O + 1], cam[P_O + 2]),
+        )
+        out_t[:] = t_hit
+        out_idx[:] = jnp.where(
+            found, hx + hy * n + hz * n * n, jnp.full((SUB, LANE), -1, _I32)
+        )
+        if out_age is not None:
+            out_age[:] = age_ref[:]
+
+    return kernel
+
+
+def _make_shadow_kernel(n, z0, zext):
+    sweep, _ = _make_traversal(n, z0, zext)
+    inv_n = 1.0 / n
+
+    def kernel(cam, zrange, sx, sy, sz, dx, dy, dz, t1, exx, exy, exz, act,
+               vol, coarse, coarse2, out_occ,
+               f_b, t_b, hx_b, hy_b, hz_b,
+               r_ox, r_oy, r_oz, r_dx, r_dy, r_dz, r_t0, r_t1, r_flags):
+        rayrefs = (r_ox, r_oy, r_oz, r_dx, r_dy, r_dz, r_t0, r_t1, r_flags)
+        cell_half = inv_n * cam[P_CELLMUL] * 0.5
+        _store_ray(
+            rayrefs, sx[:], sy[:], sz[:], dx[:], dy[:], dz[:],
+            jnp.zeros((SUB, LANE), _F32), t1[:], act[:] == 1,
+        )
+        occluded, _, _, _, _ = sweep(
+            vol, coarse, coarse2, zrange, (f_b, t_b, hx_b, hy_b, hz_b),
+            rayrefs, cell_half, (exx, exy, exz), False,
+        )
+        out_occ[:] = occluded.astype(_I32)
+
+    return kernel
+
+
+def _vol2d_slab(vol, z0, zext, n):
+    """Pack a z-slab into the kernel's [Z, C, 128] layout."""
+    y_pad = max(LANE, n)
+    v = vol[:, z0 : z0 + zext, :]
+    v = jnp.pad(v, ((0, 0), (0, 0), (0, y_pad - n))).transpose(1, 0, 2)
+    return v.reshape(zext, (n // 32) * (y_pad // LANE), LANE)
+
+
+def _slab_occupancy(coarse_full, z0, zext, n):
+    """(column rows, supercolumn rows, zrange) for one slab."""
+    yc = n // 8
+    sl = coarse_full[z0 // 8 : (z0 + zext) // 8]
+    col = dilate_occupancy(sl, dilate_z=False, yc=yc, dilate_y=False)
+    if col.shape[1] < LANE:
+        col = jnp.pad(col, ((0, 0), (0, LANE - col.shape[1])))
+    nc_groups = (zext // 8) // 4
+    c4 = sl[: nc_groups * 4].reshape(nc_groups, 4, -1)
+    c2 = c4[:, 0] | c4[:, 1] | c4[:, 2] | c4[:, 3]
+    c2 = dilate_occupancy(c2, yc=yc)
+    if c2.shape[1] < LANE:
+        c2 = jnp.pad(c2, ((0, 0), (0, LANE - c2.shape[1])))
+    nc_ = zext // 8
+    row_any = jnp.any(sl != 0, axis=1)
+    idxs = jnp.arange(nc_, dtype=jnp.int32)
+    any_any = jnp.any(row_any)
+    zmin = jnp.where(any_any, jnp.min(jnp.where(row_any, idxs, nc_)), nc_)
+    zmax = jnp.where(any_any, jnp.max(jnp.where(row_any, idxs, -1)), -1)
+    return col, c2, jnp.stack([zmin, zmax]).astype(jnp.int32)
+
+
+def _to_blocks(x, width, height, fill=0):
+    """[H, W] → tile-blocked [tiles·SUB, LANE] (inverse of unflat)."""
+    nbx = pl.cdiv(width, BW)
+    nby = pl.cdiv(height, BH)
+    x = jnp.pad(
+        x, ((0, nby * BH - height), (0, nbx * BW - width)),
+        constant_values=fill,
+    )
+    x = x.reshape(nby, BH, nbx, BW).transpose(0, 2, 1, 3)
+    return x.reshape(nby * nbx * SUB, LANE)
+
+
+def _from_blocks(x, width, height):
+    nbx = pl.cdiv(width, BW)
+    nby = pl.cdiv(height, BH)
+    x = x.reshape(nby, nbx, BH, BW).transpose(0, 2, 1, 3)
+    return x.reshape(nby * BH, nbx * BW)[:height, :width]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "grid_size", "width", "height", "shadow", "interpret", "total_states",
+        "soft_shadow_samples", "slab_planes",
+    ),
+)
+def raytrace_sliced(
+    vol,      # uint32 [W, Z, Y] canonical packed volume (visibility)
+    cam,      # f32 [P_LEN] packed camera/material params
+    ages=None,  # optional uint32 [B, W, Z, Y] age bit-planes
+    *,
+    grid_size: int,
+    width: int,
+    height: int,
+    shadow: bool = True,
+    interpret: bool = False,
+    total_states: int = 2,
+    soft_shadow_samples: int = 1,
+    slab_planes: int | None = None,  # override for tests (multiple of 32)
+):
+    """Trace all pixels of an n > 256 volume via z-slab decomposition.
+    Returns (light_rgb [H,W,3], depth [H,W], hit_idx [H,W]) — the same
+    contract as render_fast.raytrace_tiles."""
+    from . import brdf
+    from .intersect import FULL_CUBE_SIZE, HALF_CUBE_SIZE
+
+    n = grid_size
+    if n > MAX_SLICED_GRID:
+        raise ValueError(f"sliced fast path supports grid_size ≤ {MAX_SLICED_GRID}")
+    ze = slab_planes or slab_extent(n)
+    slabs = [(z0, min(ze, n - z0)) for z0 in range(0, n, ze)]
+    age_bits = 0 if ages is None else int(ages.shape[0])
+
+    nbx = pl.cdiv(width, BW)
+    nby = pl.cdiv(height, BH)
+    tiles = nbx * nby
+    coarse_full = coarse_occupancy(vol)
+
+    blk_f32 = jax.ShapeDtypeStruct((tiles * SUB, LANE), jnp.float32)
+    blk_i32 = jax.ShapeDtypeStruct((tiles * SUB, LANE), jnp.int32)
+    out_spec = pl.BlockSpec((SUB, LANE), lambda t: (t, 0))
+    ray_scratch = [
+        pltpu.VMEM((SUB, LANE), jnp.float32) for _ in range(8)
+    ] + [pltpu.VMEM((SUB, LANE), jnp.int32)]
+
+    # ---- primary pass: one kernel per slab, min-t composite ------------
+    t_parts, idx_parts, age_parts = [], [], []
+    for z0, zext in slabs:
+        vol2d = _vol2d_slab(vol, z0, zext, n)
+        col, c2, zrange = _slab_occupancy(coarse_full, z0, zext, n)
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        inputs = [cam, zrange, vol2d, col, c2]
+        out_shape = [blk_f32, blk_i32]
+        out_specs = [out_spec, out_spec]
+        scratch = [
+            pltpu.VMEM((SUB, LANE), jnp.int32),    # f_a
+            pltpu.VMEM((SUB, LANE), jnp.float32),  # t_a
+            pltpu.VMEM((SUB, LANE), jnp.int32),    # hx_a
+            pltpu.VMEM((SUB, LANE), jnp.int32),    # hy_a
+            pltpu.VMEM((SUB, LANE), jnp.int32),    # hz_a
+        ] + list(ray_scratch)
+        if age_bits:
+            a = ages[:, :, z0 : z0 + zext, :]
+            y_pad = max(LANE, n)
+            a = jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, y_pad - n)))
+            a = a.transpose(0, 2, 1, 3).reshape(
+                age_bits * zext, (n // 32) * (y_pad // LANE), LANE
+            )
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            inputs.append(a)
+            out_shape.append(blk_i32)
+            out_specs.append(out_spec)
+            scratch.append(pltpu.VMEM((SUB, LANE), jnp.int32))  # age_ref
+        kernel = _make_primary_kernel(n, z0, zext, width, height, age_bits)
+        outs = pl.pallas_call(
+            kernel,
+            grid=(tiles,),
+            out_shape=out_shape,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(*inputs)
+        t_parts.append(outs[0])
+        idx_parts.append(outs[1])
+        if age_bits:
+            age_parts.append(outs[2])
+
+    t_all = jnp.stack(t_parts)      # [S, tiles·SUB, LANE]
+    idx_all = jnp.stack(idx_parts)
+    t_sel = jnp.where(idx_all >= 0, t_all, jnp.float32(jnp.inf))
+    best = jnp.argmin(t_sel, axis=0)
+    t_hit = jnp.take_along_axis(t_all, best[None], axis=0)[0]
+    idx = jnp.take_along_axis(idx_all, best[None], axis=0)[0]
+    found_blk = jnp.any(idx_all >= 0, axis=0)
+    idx = jnp.where(found_blk, idx, -1)
+    if age_bits:
+        age_all = jnp.stack(age_parts)
+        age_blk = jnp.take_along_axis(age_all, best[None], axis=0)[0]
+
+    # ---- geometry in XLA (pixel rays, volume exit, hit points) ---------
+    idx_img = _from_blocks(idx, width, height)
+    t_img = _from_blocks(t_hit, width, height)
+    found = idx_img >= 0
+
+    win_w = cam[P_WIN]
+    win_h = cam[P_WIN + 1]
+    pxs = jnp.arange(width, dtype=jnp.float32)[None, :]
+    pys = jnp.arange(height, dtype=jnp.float32)[:, None]
+    ux = (pxs + 0.5) / win_w + jnp.zeros((height, 1), jnp.float32)
+    uy = (
+        1.0 - (pys + cam[P_ROW0] + 0.5) / win_h
+        + jnp.zeros((1, width), jnp.float32)
+    )
+    rx = (ux - 0.5) * (win_w / win_h)
+    ry = uy - 0.5
+    rz = jnp.full_like(rx, -0.5 * COT_HALF_FOV)
+    norm = jax.lax.rsqrt(rx * rx + ry * ry + rz * rz)
+    ray_cam = jnp.stack([rx * norm, ry * norm, rz * norm], axis=-1)
+    rot = jnp.stack(
+        [cam[P_R00 : P_R00 + 3], cam[P_R00 + 3 : P_R00 + 6],
+         cam[P_R00 + 6 : P_R00 + 9]]
+    )
+    d = ray_cam @ rot.T                             # [H, W, 3]
+    o = cam[P_O : P_O + 3]
+    t1v = (-0.5 - o) / d
+    t2v = (0.5 - o) / d
+    tf = jnp.min(jnp.maximum(t1v, t2v), axis=-1)
+    tn = jnp.max(jnp.minimum(t1v, t2v), axis=-1)
+    crossed = (tn <= tf) & (tf >= 0.0)
+    depth = jnp.where(found, t_img, jnp.where(crossed, tf, 0.0))
+
+    q = o + d * t_img[..., None]                    # hit points [H, W, 3]
+    hxv = idx_img % n
+    hyv = (idx_img // n) % n
+    hzv = idx_img // (n * n)
+    cell = jnp.float32(FULL_CUBE_SIZE / n)
+    origin = (
+        jnp.stack([hxv, hyv, hzv], axis=-1).astype(jnp.float32) * cell
+        + cell * 0.5
+        - HALF_CUBE_SIZE
+    )
+
+    # ---- shadows: per-slab occlusion kernels over the hit points -------
+    light = cam[P_LIGHT : P_LIGHT + 3]
+    if shadow:
+        soft_k = max(1, soft_shadow_samples)
+        occ_sum = jnp.zeros((height, width), jnp.float32)
+        for kk in range(soft_k):
+            if soft_k > 1:
+                tfrac = cam[P_TIME] - jnp.floor(cam[P_TIME])
+
+                def j1(cst):
+                    ax = 0.07 * tfrac + ux + cst
+                    ay = 0.07 * tfrac + uy + cst
+                    v = jnp.sin(ax * 12.9898 + ay * 78.233) * 43758.5453
+                    return (v - jnp.floor(v)) - 0.5
+
+                rad2 = 2.0 * cam[P_LRAD]
+                jit3 = jnp.stack(
+                    [
+                        j1(jnp.float32(0.17 * kk + 0.05)),
+                        j1(jnp.float32(0.29 * kk + 0.11)),
+                        j1(jnp.float32(0.41 * kk + 0.23)),
+                    ],
+                    axis=-1,
+                ) * rad2
+                target = light + jit3
+            else:
+                target = jnp.broadcast_to(light, q.shape)
+            sd = target - q
+            sd = sd * jax.lax.rsqrt(jnp.sum(sd * sd, axis=-1, keepdims=True))
+            e1 = (-0.5 - q) / sd
+            e2 = (0.5 - q) / sd
+            sh_tf = jnp.min(jnp.maximum(e1, e2), axis=-1)
+
+            args = [
+                _to_blocks(q[..., 0], width, height),
+                _to_blocks(q[..., 1], width, height),
+                _to_blocks(q[..., 2], width, height),
+                _to_blocks(sd[..., 0], width, height, fill=1),
+                _to_blocks(sd[..., 1], width, height, fill=1),
+                _to_blocks(sd[..., 2], width, height, fill=1),
+                _to_blocks(sh_tf, width, height),
+                _to_blocks(hxv, width, height),
+                _to_blocks(hyv, width, height),
+                _to_blocks(hzv, width, height),
+                _to_blocks(found.astype(jnp.int32), width, height),
+            ]
+            occluded = jnp.zeros((tiles * SUB, LANE), jnp.int32)
+            for z0, zext in slabs:
+                vol2d = _vol2d_slab(vol, z0, zext, n)
+                col, c2, zrange = _slab_occupancy(coarse_full, z0, zext, n)
+                kernel = _make_shadow_kernel(n, z0, zext)
+                occ = pl.pallas_call(
+                    kernel,
+                    grid=(tiles,),
+                    out_shape=blk_i32,
+                    in_specs=(
+                        [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+                        + [pl.BlockSpec((SUB, LANE), lambda t: (t, 0))] * 11
+                        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+                    ),
+                    out_specs=out_spec,
+                    scratch_shapes=[
+                        pltpu.VMEM((SUB, LANE), jnp.int32),
+                        pltpu.VMEM((SUB, LANE), jnp.float32),
+                        pltpu.VMEM((SUB, LANE), jnp.int32),
+                        pltpu.VMEM((SUB, LANE), jnp.int32),
+                        pltpu.VMEM((SUB, LANE), jnp.int32),
+                    ] + list(ray_scratch),
+                    interpret=interpret,
+                )(cam, zrange, *args, vol2d, col, c2)
+                occluded = occluded | occ
+            occ_img = _from_blocks(occluded, width, height)
+            occ_sum = occ_sum + jnp.where(
+                occ_img == 1, jnp.float32(0.0095), jnp.float32(1.0)
+            )
+        occl = occ_sum / jnp.float32(soft_k)
+    else:
+        occl = jnp.ones((height, width), jnp.float32)
+
+    # ---- shading (XLA, exact-pipeline BRDF) -----------------------------
+    coords = jnp.stack([hxv, hyv, hzv], axis=-1)
+    color = brdf.calculate_lighting_at(
+        q, origin, coords, o,
+        jnp.broadcast_to(cam[P_LMAG], q.shape),  # [..., 3] radiance
+        light,
+        grid_size=n,
+        roughness=cam[P_ROUGH],
+        material_color=cam[P_MATC : P_MATC + 3],
+        base_reflectivity=cam[P_REFL : P_REFL + 3],
+    )
+    if age_bits:
+        age_img = _from_blocks(age_blk, width, height)
+        fade = jnp.clip(
+            (total_states - age_img).astype(jnp.float32)
+            / jnp.float32(total_states - 1),
+            0.0,
+            1.0,
+        )
+        occl = occl * fade
+    from .render_fast import P_EMIS, P_EMISS
+
+    out = color * occl[..., None]
+    out = out + cam[P_EMIS : P_EMIS + 3] * cam[P_EMISS]
+    rgb = jnp.where(found[..., None], jnp.maximum(out, 0.0), 0.0)
+    return rgb, depth, idx_img

@@ -51,7 +51,7 @@ def init_fast_history(width: int, height: int) -> FastHistory:
     )
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 6))
+@functools.partial(jax.jit, static_argnums=(0, 4, 6, 8))
 def render_frame_fast(
     s: RenderStatic,
     packed: jnp.ndarray,
@@ -60,41 +60,83 @@ def render_frame_fast(
     camera_static: bool = True,
     ages: jnp.ndarray | None = None,
     total_states: int = 2,
+    row0: jnp.ndarray | None = None,
+    full_height: int | None = None,
 ):
     """One fast-path frame.  Returns (presentation [H,W,3] f32, depth
-    [H,W] f32, new FastHistory)."""
+    [H,W] f32, new FastHistory).
+
+    ``row0``/``full_height``: set when this call renders a horizontal row
+    shard of a larger window (mesh mode, engine._mesh_render) — pixel rows
+    are local but UVs and the camera frustum are global.  Sharded rendering
+    requires ``camera_static`` (reprojection would gather across shards).
+    """
     h, w = s.height, s.width
-    coarse = coarse_occupancy(packed)
+    fh = full_height if full_height is not None else h
+    if row0 is None:
+        row0 = jnp.float32(0.0)
+    else:
+        assert camera_static, "sharded rendering requires a static camera"
+    row0 = jnp.asarray(row0, jnp.float32)
 
     cam = jnp.concatenate(
         [
             params.view_mat[:3, :3].reshape(-1),
             params.view_mat[:3, 3],
-            jnp.array([w, h], jnp.float32),
+            jnp.array([w, fh], jnp.float32),
             params.light_pos,
             params.light_magnitude[None],
             params.cell_size[None],
             params.roughness[None],
             params.base_reflectivity,
             params.material_color,
-            jnp.zeros((6,), jnp.float32),
+            params.light_radius[None],
+            params.emissive_color,
+            params.emissive_strength[None],
+            params.elapsed_time[None],
+            row0[None],
+            jnp.zeros((7,), jnp.float32),
         ]
     )
-    rgb, depth, idx = raytrace_tiles(
-        packed,
-        coarse,
-        cam,
-        ages,
-        grid_size=s.grid_size,
-        width=w,
-        height=h,
-        # The Pallas TPU kernel has no CPU lowering — interpret off-TPU.
-        interpret=jax.default_backend() == "cpu",
-        total_states=total_states,
-    )
+    if s.grid_size <= 256:
+        rgb, depth, idx = raytrace_tiles(
+            packed,
+            coarse_occupancy(packed),
+            cam,
+            ages,
+            grid_size=s.grid_size,
+            width=w,
+            height=h,
+            # The Pallas TPU kernel has no CPU lowering — interpret off-TPU.
+            interpret=jax.default_backend() == "cpu",
+            total_states=total_states,
+            soft_shadow_samples=s.soft_shadow_samples,
+            indirect=s.indirect_lighting,
+        )
+    else:
+        # Volume exceeds VMEM: z-slab decomposition + XLA composite
+        # (render_slab.py).  GI is fused-path only; shadows/soft
+        # shadows/emissive/ages are supported.
+        from .render_slab import raytrace_sliced
 
-    uv = pixel_uvs(w, h)
-    ray_cam = get_ray(uv, jnp.array([w, h], jnp.float32))
+        rgb, depth, idx = raytrace_sliced(
+            packed,
+            cam,
+            ages,
+            grid_size=s.grid_size,
+            width=w,
+            height=h,
+            interpret=jax.default_backend() == "cpu",
+            total_states=total_states,
+            soft_shadow_samples=s.soft_shadow_samples,
+        )
+
+    # Global-window UVs for this (possibly row-sharded) pixel range.
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+    ys = 1.0 - (jnp.arange(h, dtype=jnp.float32) + row0 + 0.5) / fh
+    u_, v_ = jnp.meshgrid(xs, ys)
+    uv = jnp.stack([u_, v_], axis=-1)
+    ray_cam = get_ray(uv, jnp.array([w, fh], jnp.float32))
     view_ray = (params.view_mat[:3, :3] @ ray_cam[..., None])[..., 0]
     camera_pos = params.view_mat[:3, 3]
 

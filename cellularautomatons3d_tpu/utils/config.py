@@ -97,6 +97,11 @@ class EngineConfig:
     light_radius: float = 0.0            # area-light radius for soft shadows
     emissive_color: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     emissive_strength: float = 0.0
+    # --- multi-chip scaling (BASELINE config 5; new capability) ----------
+    # 0 = single device.  N > 1 builds an N-device 1-D mesh: the CA state
+    # is Z-sharded with ICI halo exchange (parallel/sharded.py) and frames
+    # are rendered pixel-row-sharded over the replicated packed grid.
+    mesh_devices: int = 0
 
     def __post_init__(self):
         self.grid_size = snap_grid_size(int(self.grid_size))
@@ -114,10 +119,24 @@ class EngineConfig:
             raise ValueError(f"unknown render_variant {self.render_variant!r}")
         if self.render_variant == "simple":
             self.pipeline = "reference"  # only the exact path has it
-        if self.pipeline == "fast" and self.grid_size > 256:
-            self.pipeline = "reference"  # fast path is VMEM-resident
+        if self.pipeline == "fast" and self.grid_size > 512:
+            # ≤ 256 uses the fused VMEM-resident kernel; 257-512 the z-slab
+            # sliced path (render_slab.py); beyond that only the exact
+            # pipeline renders (coarse-row lane budget, ops/occupancy.py).
+            self.pipeline = "reference"
         if isinstance(self.light, dict):
             self.light = LightConfig(**self.light)
+        if self.mesh_devices:
+            if self.grid_size % self.mesh_devices:
+                raise ValueError(
+                    f"grid_size {self.grid_size} not divisible by "
+                    f"mesh_devices {self.mesh_devices}"
+                )
+            if self.height % self.mesh_devices:
+                raise ValueError(
+                    f"height {self.height} not divisible by "
+                    f"mesh_devices {self.mesh_devices} (row-sharded render)"
+                )
 
     def ruleset(self) -> RuleSet:
         return RuleSet.from_strings(
@@ -146,6 +165,7 @@ class EngineConfig:
             "random_initial_state",
             "boundary",
             "seed",
+            "mesh_devices",
             # width/height are live: the Engine reallocates history buffers
             # on resize, matching the reference's mid-run resize path
             # (main_pathtraced.js:781-797).

@@ -158,8 +158,62 @@ class ViewerServer:
                         200, json.dumps(viewer.field_spec()).encode(),
                         "application/json",
                     )
+                elif self.path.rstrip("/") == "/ws":
+                    if not self._local_request():
+                        self._send(403, b"forbidden", "text/plain")
+                        return
+                    self._serve_websocket()
                 else:
                     self._send(404, b"not found", "text/plain")
+
+            def _serve_websocket(self):
+                """Push PNG frames (binary) + status (text) over one socket,
+                replacing per-frame HTTP polling; client inputs arrive as
+                JSON text messages routed through handle_input."""
+                from . import ws
+
+                if not ws.handshake(self):
+                    self._send(400, b"bad websocket request", "text/plain")
+                    return
+                self.close_connection = True
+                stop = threading.Event()
+
+                def reader():
+                    try:
+                        while not stop.is_set():
+                            op, payload = ws.recv_message(self.rfile)
+                            if op is None or op == ws.OP_CLOSE:
+                                break
+                            if op == ws.OP_PING:
+                                ws.send_frame(self.wfile, payload, ws.OP_PONG)
+                            elif op == ws.OP_TEXT:
+                                try:
+                                    viewer.handle_input(json.loads(payload))
+                                except ValueError:
+                                    pass
+                    except OSError:
+                        pass
+                    finally:
+                        stop.set()
+
+                t = threading.Thread(target=reader, daemon=True)
+                t.start()
+                try:
+                    while not stop.is_set():
+                        png = viewer.frame_png()
+                        ws.send_frame(self.wfile, png)
+                        eng = viewer.engine
+                        ws.send_text(
+                            self.wfile,
+                            {
+                                "restart_required": eng.restart_required,
+                                "simulation_step": eng.simulation_step,
+                            },
+                        )
+                except OSError:
+                    pass
+                finally:
+                    stop.set()
 
             def _local_request(self) -> bool:
                 """Reject cross-origin / DNS-rebinding POSTs: Host must be

@@ -217,6 +217,132 @@ def test_fast_shadowing():
     assert ratio < 0.05  # occlusion factor 0.0095 applied
 
 
+def test_fast_emissive_adds_unshadowed_radiance():
+    """Emissive cells add their own radiance after shadowing
+    (renderer.py:263-264): delta = emissive_color * strength on hits."""
+    dense = np.zeros((N, N, N), np.uint8)
+    dense[40, 28:34, 28:34] = 1
+    vol, coarse = prep(dense)
+    cam_plain, _ = default_cam()
+    cam_emis, _ = default_cam(
+        emissive_color=(0.1, 0.2, 0.3), emissive_strength=0.5
+    )
+    kw = dict(grid_size=N, width=W_IMG, height=H_IMG, shadow=False,
+              interpret=True)
+    rgb0, _, idx = raytrace_tiles(vol, coarse, cam_plain, **kw)
+    rgb1, _, _ = raytrace_tiles(vol, coarse, cam_emis, **kw)
+    hit = np.asarray(idx) >= 0
+    delta = np.asarray(rgb1)[hit] - np.asarray(rgb0)[hit]
+    np.testing.assert_allclose(
+        delta, np.broadcast_to([0.05, 0.1, 0.15], delta.shape), atol=1e-5
+    )
+    assert (np.asarray(rgb1)[~hit] == np.asarray(rgb0)[~hit]).all()
+
+
+def test_fast_soft_shadows_penumbra():
+    """A finite light radius + multiple jittered shadow sweeps produce
+    partial occlusion (between the hard-shadow quotient and 1) somewhere,
+    and average the same scene the hard path sees (renderer.py:212-224)."""
+    dense = np.zeros((N, N, N), np.uint8)
+    dense[40, 24:40, 24:40] = 1       # wall facing the camera
+    dense[44:46, 34:44, 30:34] = 1    # small occluder toward the light
+    vol, coarse = prep(dense)
+    kw = dict(grid_size=N, width=W_IMG, height=H_IMG, interpret=True)
+    cam_hard, _ = default_cam()
+    rgb_h, _, idx = raytrace_tiles(vol, coarse, cam_hard, shadow=True, **kw)
+    rgb_n, _, _ = raytrace_tiles(vol, coarse, cam_hard, shadow=False, **kw)
+    cam_soft, _ = default_cam(light_radius=0.25, elapsed_time=0.3)
+    rgb_s, _, _ = raytrace_tiles(
+        vol, coarse, cam_soft, shadow=True, soft_shadow_samples=8, **kw
+    )
+    rgb_h, rgb_n, rgb_s = map(np.asarray, (rgb_h, rgb_n, rgb_s))
+    hit = (np.asarray(idx) >= 0) & (rgb_n.sum(-1) > 1e-3)
+    # soft stays within [hard-shadowed, unshadowed] bounds...
+    assert (rgb_s[hit] <= rgb_n[hit] + 1e-4).all()
+    # ...and some pixels are genuinely penumbral (not 1.0, not 0.0095).
+    ratio = rgb_s.sum(-1)[hit] / np.maximum(rgb_n.sum(-1)[hit], 1e-9)
+    assert ((ratio > 0.05) & (ratio < 0.95)).any(), "no penumbra found"
+
+
+def test_fast_indirect_matches_exact_renderer():
+    """GI parity: on an unshadowed 2-cell scene the fast kernel's output
+    with indirect=True must equal the exact pipeline's direct +
+    _indirect_lighting + emissive at the same snapped hit point."""
+    from cellularautomatons3d_tpu.render import brdf
+    from cellularautomatons3d_tpu.render import renderer as R
+    from cellularautomatons3d_tpu.render.renderer import _indirect_lighting
+    from cellularautomatons3d_tpu.render.intersect import cell_from_sample_point
+
+    dense = np.zeros((N, N, N), np.uint8)
+    dense[40, 31, 31] = 1   # target (z=40, y=31, x=31), camera looks at +z face
+    dense[41, 31, 32] = 1   # face-5 slot neighbour (+1, 0, +1)
+    vol, coarse = prep(dense)
+    emis_c = (0.02, 0.03, 0.04)
+    emis_s = 0.5
+    cam, view = default_cam(emissive_color=emis_c, emissive_strength=emis_s)
+    rgb, depth, idx = raytrace_tiles(
+        vol, coarse, cam, grid_size=N, width=W_IMG, height=H_IMG,
+        shadow=True, interpret=True, indirect=True,
+    )
+    rgb, depth, idx = map(np.asarray, (rgb, depth, idx))
+    target = 31 + 31 * N + 40 * N * N
+    ys, xs = np.nonzero(idx == target)
+    assert len(ys) > 0
+
+    packed_flat = jnp.asarray(vol).reshape(-1)
+    params = R.RenderParams(
+        view_mat=jnp.asarray(view),
+        prev_view_mat=jnp.asarray(view),
+        prev_proj_view=jnp.eye(4, dtype=jnp.float32),
+        elapsed_time=jnp.float32(0.0),
+        cell_size=jnp.float32(0.85),
+        temporal_alpha=jnp.float32(0.1),
+        gamma=jnp.float32(2.0),
+        roughness=jnp.float32(0.29),
+        base_reflectivity=jnp.full((3,), 0.17, jnp.float32),
+        material_color=jnp.zeros((3,), jnp.float32),
+        light_pos=jnp.asarray([0.721, 1.0, 1.0], jnp.float32),
+        light_magnitude=jnp.float32(5.0),
+        show_depth_overlay=jnp.float32(0.0),
+        emissive_color=jnp.asarray(emis_c, jnp.float32),
+        emissive_strength=jnp.float32(emis_s),
+    )
+    s = R.RenderStatic(
+        width=W_IMG, height=H_IMG, grid_size=N,
+        depth_samples=8, shadow_samples=8, indirect_lighting=True,
+    )
+    cam_pos = view[:3, 3]
+    checked = 0
+    for py, px in list(zip(ys, xs))[:4]:
+        ux = (px + 0.5) / W_IMG
+        uy = 1.0 - (py + 0.5) / H_IMG
+        r = np.array([(ux - 0.5) * (W_IMG / H_IMG), uy - 0.5, -0.5 * COT_HALF_FOV])
+        r /= np.linalg.norm(r)
+        d = view[:3, :3] @ r
+        p = jnp.asarray(cam_pos + d * depth[py, px], jnp.float32)
+        coords, origin, _ = cell_from_sample_point(p, N)
+        direct = brdf.calculate_lighting_at(
+            p, origin, coords, jnp.asarray(cam_pos),
+            jnp.full((3,), 5.0, jnp.float32), params.light_pos,
+            grid_size=N, roughness=params.roughness,
+            material_color=params.material_color,
+            base_reflectivity=params.base_reflectivity,
+        )
+        uv = jnp.asarray([ux, uy], jnp.float32)
+        gi = _indirect_lighting(
+            packed_flat, p, origin, coords, uv, jnp.float32(0.0),
+            params, s, jnp.asarray(True),
+        )
+        want = (
+            np.asarray(direct)
+            + np.asarray(gi)
+            + np.asarray(emis_c) * emis_s
+        )
+        np.testing.assert_allclose(rgb[py, px], want, rtol=5e-3, atol=5e-4)
+        checked += 1
+    assert checked > 0
+
+
 def test_fast_empty_grid_black():
     dense = np.zeros((N, N, N), np.uint8)
     rgb, depth, idx = trace(dense)

@@ -63,7 +63,7 @@ def test_static_camera_ema_accumulates():
     hit = np.asarray(hist.hit_idx) >= 0
     assert hit.sum() > 0
     poisoned = FastHistory(
-        color=jnp.where(jnp.asarray(hit)[..., None], 1.0, 0.0).astype(jnp.float16),
+        color=jnp.where(jnp.asarray(hit)[..., None], jnp.ones((H_IMG, W_IMG, 3)), 0.0).astype(jnp.float16),
         hit_idx=hist.hit_idx,
     )
     _, _, hist2 = render_frame_fast(STATIC, packed, params, poisoned)
@@ -94,7 +94,7 @@ def test_panning_camera_keeps_history_via_reprojection():
     )
     white_hist = FastHistory(
         color=jnp.where(
-            (hist_a.hit_idx >= 0)[..., None], 1.0, 0.0
+            (hist_a.hit_idx >= 0)[..., None], jnp.ones((H_IMG, W_IMG, 3)), 0.0
         ).astype(jnp.float16),
         hit_idx=hist_a.hit_idx,
     )
@@ -109,9 +109,7 @@ def test_panning_camera_keeps_history_via_reprojection():
 def test_depth_overlay_not_in_history():
     packed = scene()
     params = make_params(mat4.initial_view_matrix())
-    import dataclasses
-
-    params = dataclasses.replace(params, show_depth_overlay=jnp.float32(1.0))
+    params = params._replace(show_depth_overlay=jnp.float32(1.0))
     frame, depth, hist = render_frame_fast(
         STATIC, packed, params, init_fast_history(W_IMG, H_IMG)
     )

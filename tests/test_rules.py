@@ -108,3 +108,40 @@ def test_all_presets_construct_and_step():
             ))
         out = make_step_fn(spec)(state)
         assert out.shape == state.shape, name
+
+
+# ---------------------------------------------------------------- export --
+
+
+def test_counts_to_string_round_trip():
+    from cellularautomatons3d_tpu.models.rules import (
+        counts_to_string,
+        parse_rule_string,
+    )
+
+    for counts in [(1, 3), (0, 1, 2, 3, 4, 5, 6), (4,), (), (2, 3, 5, 9, 10),
+                   (0, 2, 3, 4, 26), (26,)]:
+        s = counts_to_string(counts)
+        assert set(parse_rule_string(s)) == set(counts), (counts, s)
+
+
+def test_counts_to_string_canonical_forms():
+    from cellularautomatons3d_tpu.models.rules import counts_to_string
+
+    assert counts_to_string((0, 1, 2, 3, 4, 5, 6)) == "0-6"
+    assert counts_to_string((1, 3)) == "1,3"
+    assert counts_to_string((1, 2)) == "1,2"       # runs of 2 stay explicit
+    assert counts_to_string((5, 6, 7, 9)) == "5-7,9"
+    assert counts_to_string(()) == ""
+
+
+def test_ruleset_string_and_lut_round_trips():
+    from cellularautomatons3d_tpu.models.rules import RuleSet
+
+    rs = RuleSet.from_strings(born="1,3", survive="0-6", born_edges="7,9-12")
+    again = RuleSet.from_strings(**rs.to_strings())
+    assert again.masks() == rs.masks()
+
+    born, survive = rs.lut_arrays()
+    from_luts = RuleSet.from_luts(born, survive)
+    assert from_luts.masks() == rs.masks()

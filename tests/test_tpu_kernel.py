@@ -1,0 +1,84 @@
+"""Opt-in on-TPU tests: the Mosaic-compiled kernel vs interpret mode.
+
+Every other render_fast test runs ``interpret=True`` on CPU; a Mosaic
+miscompile would slip through them (VERDICT r01 weak #5).  These tests run
+only when a real TPU is attached (skipped under the test suite's forced-CPU
+conftest; run with ``JAX_PLATFORMS='' pytest tests/test_tpu_kernel.py``).
+"""
+
+import numpy as np
+import pytest
+import jax
+
+tpu_available = any(d.platform == "tpu" for d in jax.devices()) if not (
+    jax.default_backend() == "cpu"
+) else False
+
+needs_tpu = pytest.mark.skipif(not tpu_available, reason="no TPU attached")
+
+
+def _scene(N=64):
+    import cellularautomatons3d_tpu as ca
+
+    rng = np.random.default_rng(12)
+    dense = (rng.random((N, N, N)) < 0.03).astype(np.uint8)
+    dense[20:30, 20:30, 20:30] = 1
+    return dense
+
+
+@needs_tpu
+@pytest.mark.parametrize("kw", [
+    dict(),
+    dict(soft_shadow_samples=4),
+    dict(indirect=True),
+])
+def test_compiled_kernel_matches_interpret(kw):
+    import jax.numpy as jnp
+    import cellularautomatons3d_tpu as ca
+    from cellularautomatons3d_tpu.ops.occupancy import coarse_occupancy
+    from cellularautomatons3d_tpu.render.render_fast import (
+        raytrace_tiles, pack_cam,
+    )
+    from cellularautomatons3d_tpu.utils import mat4
+
+    N, W, H = 64, 128, 64
+    dense = _scene(N)
+    vol = jnp.asarray(ca.pack_grid(dense))
+    coarse = coarse_occupancy(vol)
+    cam = jnp.asarray(pack_cam(
+        mat4.initial_view_matrix(), W, H, (0.721, 1.0, 1.0), 5.0,
+        0.85, 0.29, (0.17,) * 3, (0.0,) * 3,
+        light_radius=0.1, elapsed_time=0.3,
+    ))
+    args = dict(grid_size=N, width=W, height=H, shadow=True, **kw)
+    c_rgb, c_d, c_i = raytrace_tiles(vol, coarse, cam, interpret=False, **args)
+    i_rgb, i_d, i_i = raytrace_tiles(vol, coarse, cam, interpret=True, **args)
+    np.testing.assert_array_equal(np.asarray(c_i), np.asarray(i_i))
+    np.testing.assert_allclose(np.asarray(c_d), np.asarray(i_d), atol=3e-5)
+    np.testing.assert_allclose(
+        np.asarray(c_rgb), np.asarray(i_rgb), rtol=3e-3, atol=3e-4
+    )
+
+
+@needs_tpu
+def test_compiled_sliced_matches_interpret():
+    import jax.numpy as jnp
+    import cellularautomatons3d_tpu as ca
+    from cellularautomatons3d_tpu.render.render_fast import pack_cam
+    from cellularautomatons3d_tpu.render.render_slab import raytrace_sliced
+    from cellularautomatons3d_tpu.utils import mat4
+
+    N, W, H = 64, 128, 64
+    dense = _scene(N)
+    vol = jnp.asarray(ca.pack_grid(dense))
+    cam = jnp.asarray(pack_cam(
+        mat4.initial_view_matrix(), W, H, (0.721, 1.0, 1.0), 5.0,
+        0.85, 0.29, (0.17,) * 3, (0.0,) * 3,
+    ))
+    args = dict(grid_size=N, width=W, height=H, shadow=True, slab_planes=32)
+    c_rgb, c_d, c_i = raytrace_sliced(vol, cam, interpret=False, **args)
+    i_rgb, i_d, i_i = raytrace_sliced(vol, cam, interpret=True, **args)
+    np.testing.assert_array_equal(np.asarray(c_i), np.asarray(i_i))
+    np.testing.assert_allclose(
+        np.asarray(c_rgb), np.asarray(i_rgb), rtol=3e-3, atol=3e-4
+    )
