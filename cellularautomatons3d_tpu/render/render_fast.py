@@ -167,26 +167,6 @@ def pack_cam(view_mat, width, height, light_pos, light_magnitude, cell_size,
     return cam
 
 
-# The 12 edge-diagonal neighbour offsets (dx, dy, dz) — the union of the
-# reference's per-face indirect-lighting layers (wgsl:110-169).  Bits of the
-# per-hit neighbour mask recorded by the primary sweep use this order.
-_EDGE_OFFSETS = (
-    (-1, -1, 0), (-1, 1, 0), (1, -1, 0), (1, 1, 0),
-    (-1, 0, -1), (-1, 0, 1), (1, 0, -1), (1, 0, 1),
-    (0, -1, -1), (0, -1, 1), (0, 1, -1), (0, 1, 1),
-)
-# _INDIRECT_LAYERS (renderer.py) → _EDGE_OFFSETS bit index, per face
-# (face order: -x, +x, -y, +y, -z, +z) and slot (0..3).
-_LAYER_BIT = (
-    (1, 0, 5, 4),
-    (3, 2, 7, 6),
-    (0, 2, 9, 8),
-    (1, 3, 11, 10),
-    (10, 8, 4, 6),
-    (11, 9, 5, 7),
-)
-
-
 def _make_traversal(n: int, z0: int = 0, zext: int | None = None,
                     age_bits: int = 0):
     """DDA traversal closures over a z-slab [z0, z0+zext) of an n³ volume.
@@ -259,7 +239,7 @@ def _make_traversal(n: int, z0: int = 0, zext: int | None = None,
 
     def sweep(vol, coarse, coarse2, zrange, refs, rayrefs, cell_half,
               exclude, accept_far: bool, ages=None, age_ref=None,
-              nb_ref=None, scalar_origin=None):
+              scalar_origin=None):
         """Two-direction coarse→fine DDA, fully unrolled.
 
         The coarse-column loop is a *python* loop: every plane index — and
@@ -280,9 +260,6 @@ def _make_traversal(n: int, z0: int = 0, zext: int | None = None,
         """
         found_ref, t_ref, hx_ref, hy_ref, hz_ref = refs
         r_ox, r_oy, r_oz, r_dx, r_dy, r_dz, r_t0, r_t1, r_flags = rayrefs
-        # Neighbour recording indexes planes k±1 locally — only valid when
-        # the traversal covers the full volume.
-        assert nb_ref is None or (z0 == 0 and zext == n)
 
         def load_ray():
             flags = r_flags[:]
@@ -367,25 +344,6 @@ def _make_traversal(n: int, z0: int = 0, zext: int | None = None,
                     abit = fetch_fine_bit(ages, b_ * zext + k_plane, cx, cy, hit)
                     age = age | (abit << b_)
                 age_ref[:] = jnp.where(hit, age, age_ref[:])
-            if nb_ref is not None:
-                # Record the 12 edge-neighbour states of the hit cell for
-                # the indirect bounce (wgsl:307-377).  Gated on any-hit:
-                # each primary ray hits at most once, so across the sweep
-                # this fires only for the few planes that contain hits.
-                # Coordinate wrap replicates get_cell_state's max(·,0) + %n
-                # (intersect.py:102-111).
-                @pl.when(_any(hit))
-                def _(k_plane=k_plane, cx=cx, cy=cy, hit=hit):
-                    bits = jnp.zeros((SUB, LANE), dtype=_I32)
-                    for b_, (ex_, ey_, ez_) in enumerate(_EDGE_OFFSETS):
-                        nz_ = max(k_plane + ez_, 0) % n
-                        nx0 = jnp.maximum(cx + ex_, 0)
-                        nx_ = jnp.where(nx0 >= n, nx0 - n, nx0)
-                        ny0 = jnp.maximum(cy + ey_, 0)
-                        ny_ = jnp.where(ny0 >= n, ny0 - n, ny0)
-                        nbit = fetch_fine_bit(vol, nz_, nx_, ny_, hit)
-                        bits = bits | (nbit << b_)
-                    nb_ref[:] = jnp.where(hit, bits, nb_ref[:])
             found_ref[:] = jnp.where(hit, 1, found_ref[:])
             t_ref[:] = jnp.where(hit, tn, t_ref[:])
             hx_ref[:] = jnp.where(hit, cx, hx_ref[:])
@@ -532,9 +490,12 @@ def _make_traversal(n: int, z0: int = 0, zext: int | None = None,
 
 def _make_kernel(n: int, shadow: bool, width: int, height: int,
                  age_bits: int = 0, total_states: int = 2,
-                 soft_k: int = 1, indirect: bool = False):
-    """Fused full-volume kernel: primary + shadow sweeps, Cook-Torrance
-    shading, optional soft shadows / one-bounce GI / emissive / ages."""
+                 debug_no_sweep: bool = False):
+    """Fused full-volume kernel: primary + hard shadow sweep, Cook-Torrance
+    shading, age fade.  Soft shadows / one-bounce GI / emissive live in the
+    decomposed path (renderer_fast.trace_shaded + render_slab helpers): the
+    in-kernel variants at 256³ unrolled past what Mosaic can compile in
+    reasonable time."""
     inv_n = 1.0 / n
     half = 0.5
     sweep, _ = _make_traversal(n, 0, n, age_bits)
@@ -547,14 +508,6 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
          r_ox, r_oy, r_oz, r_dx, r_dy, r_dz, r_t0, r_t1, r_flags) = rest[:24]
         rest = rest[24:]
         age_ref = rest.pop(0) if age_bits else None
-        if indirect:
-            nb_ref, acc_r, acc_g, acc_b, ex_id = rest
-        else:
-            nb_ref = acc_r = acc_g = acc_b = ex_id = None
-        # Scoped VMEM is tight in the GI/soft variants (the Mosaic stack
-        # alone approaches the 16M limit): the occlusion quotient is parked
-        # in the out_r output block instead of its own scratch ref.
-        occ_acc = out_r if (shadow and (soft_k > 1 or indirect)) else None
         rayrefs = (r_ox, r_oy, r_oz, r_dx, r_dy, r_dz, r_t0, r_t1, r_flags)
         t = pl.program_id(0)
         nbx = (width + BW - 1) // BW
@@ -715,22 +668,30 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
 
         if age_ref is not None:
             age_ref[:] = jnp.full((SUB, LANE), 1, _I32)
-        if nb_ref is not None:
-            nb_ref[:] = jnp.zeros((SUB, LANE), _I32)
         store_ray(ox0, oy0, oz0, dx0, dy0, dz0, t_start, tf, active)
-        found, t_hit, hx, hy, hz = sweep(
-            vol, coarse, coarse2, zrange, (f_a, t_a, hx_a, hy_a, hz_a),
-            rayrefs, cell_half, None, True, ages=ages, age_ref=age_ref,
-            nb_ref=nb_ref,
-            scalar_origin=(cam[P_O], cam[P_O + 1], cam[P_O + 2]),
-        )
+        if debug_no_sweep:
+            # Perf attribution only: skip all traversal — isolates the
+            # harness + ray setup + shading floor.
+            for r in (f_a, hx_a, hy_a, hz_a):
+                r[:] = jnp.zeros((SUB, LANE), _I32)
+            t_a[:] = jnp.zeros((SUB, LANE), _F32)
+            found, t_hit = f_a[:] == 1, t_a[:]
+            hx, hy, hz = hx_a[:], hy_a[:], hz_a[:]
+        else:
+            found, t_hit, hx, hy, hz = sweep(
+                vol, coarse, coarse2, zrange, (f_a, t_a, hx_a, hy_a, hz_a),
+                rayrefs, cell_half, None, True, ages=ages, age_ref=age_ref,
+                scalar_origin=(cam[P_O], cam[P_O + 1], cam[P_O + 2]),
+            )
         out_depth[:] = jnp.where(found, t_hit, tf_miss)
         out_idx[:] = jnp.where(
             found, hx + hy * n + hz * n * n, jnp.full((SUB, LANE), -1, _I32)
         )
 
-        # ---- direct shadow(s) --------------------------------------------
-        if shadow and soft_k <= 1:
+        # ---- direct shadow (hard, cell-exact) -----------------------------
+        if debug_no_sweep or not shadow:
+            occl = jnp.ones((SUB, LANE), _F32)
+        else:
             qx, qy, qz = (
                 ox0 + t_hit * dx0, oy0 + t_hit * dy0, oz0 + t_hit * dz0
             )
@@ -740,177 +701,6 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
                 rayrefs, cell_half, (hx_a, hy_a, hz_a), False,
             )
             occl = jnp.where(occluded, jnp.float32(0.0095), jnp.float32(1.0))
-        elif shadow:
-            # Soft shadows (extension, mirrors renderer.py:212-224): average
-            # the occlusion quotient over jittered light positions on a
-            # sphere of radius light_radius, jitter from the reference's
-            # sin-fract hash (n1rand, wgsl:171-180).
-            occ_acc[:] = jnp.zeros((SUB, LANE), _F32)
-            tfrac = cam[P_TIME] - jnp.floor(cam[P_TIME])
-            for kk in range(soft_k):
-                ux, uy, dx, dy, dz = pixel_rays()[:5]
-                ox, oy, oz = cam_origin()
-                th = t_ref_a()
-                qx, qy, qz = ox + th * dx, oy + th * dy, oz + th * dz
-
-                def j1(cst):
-                    ax = 0.07 * tfrac + ux + cst
-                    ay = 0.07 * tfrac + uy + cst
-                    v = jnp.sin(ax * 12.9898 + ay * 78.233) * 43758.5453
-                    return (v - jnp.floor(v)) - 0.5
-
-                rad2 = 2.0 * cam[P_LRAD]
-                jx = j1(jnp.float32(0.17 * kk + 0.05)) * rad2
-                jy = j1(jnp.float32(0.29 * kk + 0.11)) * rad2
-                jz = j1(jnp.float32(0.41 * kk + 0.23)) * rad2
-                shadow_sweep(qx, qy, qz, lpx + jx, lpy + jy, lpz + jz,
-                             f_a[:] == 1)
-                occluded, _, _, _, _ = sweep(
-                    vol, coarse, coarse2, zrange,
-                    (f_b, t_b, hx_b, hy_b, hz_b),
-                    rayrefs, cell_half, (hx_a, hy_a, hz_a), False,
-                )
-                occ_acc[:] = occ_acc[:] + jnp.where(
-                    occluded, jnp.float32(0.0095), jnp.float32(1.0)
-                )
-            occl = occ_acc[:] * jnp.float32(1.0 / soft_k)
-        else:
-            occl = jnp.ones((SUB, LANE), _F32)
-        if occ_acc is not None:
-            # Park the occlusion quotient in scratch so it does not stay
-            # live (spilled/filled) across the indirect sweeps below.
-            occ_acc[:] = occl
-
-        # ---- indirect bounce (wgsl:307-377; renderer.py:283-350) ----------
-        if indirect:
-            acc_r[:] = jnp.zeros((SUB, LANE), _F32)
-            acc_g[:] = jnp.zeros((SUB, LANE), _F32)
-            acc_b[:] = jnp.zeros((SUB, LANE), _F32)
-
-            def face_index():
-                """Hit-face index (-x,+x,-y,+y,-z,+z → 0..5) from the hit
-                point's offset against the cell center (cube_face_normal)."""
-                _, _, dx, dy, dz, _ = pixel_rays()
-                ox, oy, oz = cam_origin()
-                th = t_ref_a()
-                qx, qy, qz = ox + th * dx, oy + th * dy, oz + th * dz
-                cox, coy, coz = cell_center(hx_a[:], hy_a[:], hz_a[:])
-                fxo, fyo, fzo = qx - cox, qy - coy, qz - coz
-                ax_, ay_, az_ = jnp.abs(fxo), jnp.abs(fyo), jnp.abs(fzo)
-                m = jnp.maximum(jnp.maximum(ax_, ay_), az_)
-                is_x = ax_ == m
-                is_y = (ay_ == m) & ~is_x
-                return jnp.where(
-                    is_x,
-                    jnp.where(fxo < 0, 0, 1),
-                    jnp.where(
-                        is_y,
-                        jnp.where(fyo < 0, 2, 3),
-                        jnp.where(fzo < 0, 4, 5),
-                    ),
-                ).astype(_I32), (qx, qy, qz)
-
-            def slot_geometry(slot):
-                """Per-lane neighbour offset, state bit and cube hit for one
-                indirect slot; recomputed from refs (empty live set)."""
-                face, (qx, qy, qz) = face_index()
-                offx = jnp.zeros((SUB, LANE), _F32)
-                offy = jnp.zeros((SUB, LANE), _F32)
-                offz = jnp.zeros((SUB, LANE), _F32)
-                bitsel = jnp.zeros((SUB, LANE), _I32)
-                for f in range(6):
-                    b = _LAYER_BIT[f][slot]
-                    exo, eyo, ezo = _EDGE_OFFSETS[b]
-                    sel = face == f
-                    offx = jnp.where(sel, jnp.float32(exo), offx)
-                    offy = jnp.where(sel, jnp.float32(eyo), offy)
-                    offz = jnp.where(sel, jnp.float32(ezo), offz)
-                    bitsel = jnp.where(sel, b, bitsel)
-                n_bit = jnp.bitwise_and(
-                    jax.lax.shift_right_logical(
-                        nb_ref[:].astype(_U32), bitsel.astype(_U32)
-                    ).astype(_I32),
-                    1,
-                )
-                # Neighbour cube (origin from UNclamped coords, as in the
-                # reference; albedo/exclusion coords clamped at 0 below).
-                nxc = hx_a[:].astype(_F32) + offx
-                nyc = hy_a[:].astype(_F32) + offy
-                nzc = hz_a[:].astype(_F32) + offz
-                ncx = (nxc + 0.5) * inv_n - half
-                ncy = (nyc + 0.5) * inv_n - half
-                ncz = (nzc + 0.5) * inv_n - half
-                t1x = (ncx - cell_half - qx) / offx
-                t2x = (ncx + cell_half - qx) / offx
-                t1y = (ncy - cell_half - qy) / offy
-                t2y = (ncy + cell_half - qy) / offy
-                t1z = (ncz - cell_half - qz) / offz
-                t2z = (ncz + cell_half - qz) / offz
-                tnn = jnp.maximum(
-                    jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
-                    jnp.minimum(t1z, t2z),
-                )
-                tff = jnp.minimum(
-                    jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
-                    jnp.maximum(t1z, t2z),
-                )
-                ok = (
-                    (f_a[:] == 1) & (n_bit == 1) & (tnn <= tff) & (tff >= 0.0)
-                )
-                npx = qx + offx * tnn
-                npy = qy + offy * tnn
-                npz = qz + offz * tnn
-                return (qx, qy, qz), (nxc, nyc, nzc), (ncx, ncy, ncz), \
-                    (npx, npy, npz), ok
-
-            for slot in range(4):
-                geo = slot_geometry(slot)
-                (qx, qy, qz), (nxc, nyc, nzc), _, (npx, npy, npz), ok = geo
-                # Exclude the neighbour cell from its own shadow sweep
-                # (start-cell exclusion, wgsl:665-674; coords clamped at 0
-                # like renderer.py:310), packed into one id ref.
-                ex_id[:] = (
-                    jnp.maximum(nxc, 0.0).astype(_I32)
-                    + jnp.maximum(nyc, 0.0).astype(_I32) * n
-                    + jnp.maximum(nzc, 0.0).astype(_I32) * (n * n)
-                )
-                shadow_sweep(npx, npy, npz, lpx, lpy, lpz, ok)
-                n_occluded, _, _, _, _ = sweep(
-                    vol, coarse, coarse2, zrange,
-                    (f_b, t_b, hx_b, hy_b, hz_b),
-                    rayrefs, cell_half, (ex_id,), False,
-                )
-                # Recompute geometry post-sweep (refs survived, values not).
-                geo = slot_geometry(slot)
-                (qx, qy, qz), (nxc, nyc, nzc), (ncx, ncy, ncz), \
-                    (npx, npy, npz), ok = geo
-                n_occl = jnp.where(
-                    n_occluded, jnp.float32(0.0095), jnp.float32(1.0)
-                )
-                n_alr, n_alg, n_alb = albedo_from(
-                    jnp.maximum(nxc, 0.0), jnp.maximum(nyc, 0.0)
-                )
-                lmag = cam[P_LMAG]
-                rr, rg, rb = shade(
-                    npx, npy, npz, ncx, ncy, ncz, n_alr, n_alg, n_alb,
-                    qx, qy, qz, lpx, lpy, lpz, lmag, lmag, lmag,
-                )
-                emis = cam[P_EMISS]
-                rr = n_occl * rr + cam[P_EMIS] * emis
-                rg = n_occl * rg + cam[P_EMIS + 1] * emis
-                rb = n_occl * rb + cam[P_EMIS + 2] * emis
-                cox, coy, coz = cell_center(hx_a[:], hy_a[:], hz_a[:])
-                alr, alg, alb = albedo_from(
-                    hx_a[:].astype(_F32), hy_a[:].astype(_F32)
-                )
-                ox, oy, oz = cam_origin()
-                br, bg, bb = shade(
-                    qx, qy, qz, cox, coy, coz, alr, alg, alb,
-                    ox, oy, oz, npx, npy, npz, rr, rg, rb,
-                )
-                acc_r[:] = acc_r[:] + jnp.where(ok, br, 0.0)
-                acc_g[:] = acc_g[:] + jnp.where(ok, bg, 0.0)
-                acc_b[:] = acc_b[:] + jnp.where(ok, bb, 0.0)
 
         # ---- direct lighting + composition --------------------------------
         _, _, dxf, dyf, dzf, _ = pixel_rays()
@@ -927,8 +717,6 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
             oxf, oyf, ozf, lpx, lpy, lpz, lmag, lmag, lmag,
         )
 
-        if occ_acc is not None:
-            occl = occ_acc[:]
         if age_bits:
             # Age-mapped fade for multi-state rules (matches the reference
             # pipeline's extension: dying cells dim linearly with age);
@@ -943,16 +731,6 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
         out_rv = out_rv * occl
         out_gv = out_gv * occl
         out_bv = out_bv * occl
-        if indirect:
-            out_rv = out_rv + acc_r[:]
-            out_gv = out_gv + acc_g[:]
-            out_bv = out_bv + acc_b[:]
-        # Emissive cells: surfaces add their own radiance, neither shadowed
-        # nor faded (renderer.py:263-264).
-        emis = cam[P_EMISS]
-        out_rv = out_rv + cam[P_EMIS] * emis
-        out_gv = out_gv + cam[P_EMIS + 1] * emis
-        out_bv = out_bv + cam[P_EMIS + 2] * emis
         out_r[:] = jnp.where(found, out_rv, 0.0)
         out_g[:] = jnp.where(found, out_gv, 0.0)
         out_b[:] = jnp.where(found, out_bv, 0.0)
@@ -964,7 +742,7 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
     jax.jit,
     static_argnames=(
         "grid_size", "width", "height", "shadow", "interpret", "total_states",
-        "soft_shadow_samples", "indirect", "_column_dilate",
+        "_column_dilate", "_debug_no_sweep",
     ),
 )
 def raytrace_tiles(
@@ -979,9 +757,8 @@ def raytrace_tiles(
     shadow: bool = True,
     interpret: bool = False,
     total_states: int = 2,
-    soft_shadow_samples: int = 1,
-    indirect: bool = False,
-    _column_dilate: bool = True,  # perf-attribution toggle; True = exact
+    _column_dilate: bool = True,    # perf-attribution toggle; True = exact
+    _debug_no_sweep: bool = False,  # perf-attribution toggle; skips traversal
 ):
     """Trace all pixels: (light_rgb [H,W,3], depth [H,W], hit_idx [H,W])."""
     if grid_size > 256:
@@ -1015,7 +792,7 @@ def raytrace_tiles(
     tiles = nbx * nby
     kernel = _make_kernel(
         grid_size, shadow, width, height, age_bits, total_states,
-        soft_k=soft_shadow_samples, indirect=indirect,
+        debug_no_sweep=_debug_no_sweep,
     )
 
     out_shape = [
@@ -1080,12 +857,6 @@ def raytrace_tiles(
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         inputs.append(ages2d)
         scratch.append(pltpu.VMEM((SUB, LANE), jnp.int32))  # age_ref
-    if indirect:
-        scratch.append(pltpu.VMEM((SUB, LANE), jnp.int32))    # nb_ref
-        scratch.append(pltpu.VMEM((SUB, LANE), jnp.float32))  # acc_r
-        scratch.append(pltpu.VMEM((SUB, LANE), jnp.float32))  # acc_g
-        scratch.append(pltpu.VMEM((SUB, LANE), jnp.float32))  # acc_b
-        scratch.append(pltpu.VMEM((SUB, LANE), jnp.int32))    # ex_id
     r, g, b, depth, idx = pl.pallas_call(
         kernel,
         grid=(tiles,),

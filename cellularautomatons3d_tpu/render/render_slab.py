@@ -45,6 +45,8 @@ from .render_fast import (
     COT_HALF_FOV,
     LANE,
     P_CELLMUL,
+    P_EMIS,
+    P_EMISS,
     P_LIGHT,
     P_LMAG,
     P_LRAD,
@@ -231,11 +233,251 @@ def _from_blocks(x, width, height):
     return x.reshape(nby * BH, nbx * BW)[:height, :width]
 
 
+def shadow_occlusion(vol, coarse_full, cam, start, target, excl, active, *,
+                     grid_size, width, height, slabs, interpret=False):
+    """Cell-exact occlusion of per-pixel rays from ``start`` [H,W,3] toward
+    ``target`` [H,W,3], excluding cell ``excl`` [H,W,3] (int, the ray's own
+    start cell, wgsl:665-674).  Runs one occlusion kernel per z-slab and
+    ORs — also the building block for soft shadows (jittered targets) and
+    the indirect bounce (neighbour start points).  Returns bool [H, W]."""
+    n = grid_size
+    nbx = pl.cdiv(width, BW)
+    nby = pl.cdiv(height, BH)
+    tiles = nbx * nby
+    blk_i32 = jax.ShapeDtypeStruct((tiles * SUB, LANE), jnp.int32)
+    out_spec = pl.BlockSpec((SUB, LANE), lambda t: (t, 0))
+    ray_scratch = [
+        pltpu.VMEM((SUB, LANE), jnp.float32) for _ in range(8)
+    ] + [pltpu.VMEM((SUB, LANE), jnp.int32)]
+
+    sd = target - start
+    sd = sd * jax.lax.rsqrt(jnp.sum(sd * sd, axis=-1, keepdims=True))
+    e1 = (-0.5 - start) / sd
+    e2 = (0.5 - start) / sd
+    sh_tf = jnp.min(jnp.maximum(e1, e2), axis=-1)
+
+    args = [
+        _to_blocks(start[..., 0], width, height),
+        _to_blocks(start[..., 1], width, height),
+        _to_blocks(start[..., 2], width, height),
+        _to_blocks(sd[..., 0], width, height, fill=1),
+        _to_blocks(sd[..., 1], width, height, fill=1),
+        _to_blocks(sd[..., 2], width, height, fill=1),
+        _to_blocks(sh_tf, width, height),
+        _to_blocks(excl[..., 0], width, height),
+        _to_blocks(excl[..., 1], width, height),
+        _to_blocks(excl[..., 2], width, height),
+        _to_blocks(active.astype(jnp.int32), width, height),
+    ]
+    occluded = jnp.zeros((tiles * SUB, LANE), jnp.int32)
+    for z0, zext in slabs:
+        vol2d = _vol2d_slab(vol, z0, zext, n)
+        col, c2, zrange = _slab_occupancy(coarse_full, z0, zext, n)
+        kernel = _make_shadow_kernel(n, z0, zext)
+        occ = pl.pallas_call(
+            kernel,
+            grid=(tiles,),
+            out_shape=blk_i32,
+            in_specs=(
+                [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+                + [pl.BlockSpec((SUB, LANE), lambda t: (t, 0))] * 11
+                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+            ),
+            out_specs=out_spec,
+            scratch_shapes=[
+                pltpu.VMEM((SUB, LANE), jnp.int32),
+                pltpu.VMEM((SUB, LANE), jnp.float32),
+                pltpu.VMEM((SUB, LANE), jnp.int32),
+                pltpu.VMEM((SUB, LANE), jnp.int32),
+                pltpu.VMEM((SUB, LANE), jnp.int32),
+            ] + list(ray_scratch),
+            interpret=interpret,
+        )(cam, zrange, *args, vol2d, col, c2)
+        occluded = occluded | occ
+    return _from_blocks(occluded, width, height) == 1
+
+
+def soft_shadow_jitter(cam, kk, width, height):
+    """Jittered area-light offset for soft-shadow sample ``kk`` — the
+    reference's sin-fract hash over global-window UVs (n1rand,
+    wgsl:171-180; renderer.py:218-222).  Returns [H, W, 3]."""
+    win_w = cam[P_WIN]
+    win_h = cam[P_WIN + 1]
+    pxs = jnp.arange(width, dtype=jnp.float32)[None, :]
+    pys = jnp.arange(height, dtype=jnp.float32)[:, None]
+    ux = (pxs + 0.5) / win_w + jnp.zeros((height, 1), jnp.float32)
+    uy = (
+        1.0 - (pys + cam[P_ROW0] + 0.5) / win_h
+        + jnp.zeros((1, width), jnp.float32)
+    )
+    tfrac = cam[P_TIME] - jnp.floor(cam[P_TIME])
+
+    def j1(cst):
+        ax = 0.07 * tfrac + ux + cst
+        ay = 0.07 * tfrac + uy + cst
+        v = jnp.sin(ax * 12.9898 + ay * 78.233) * 43758.5453
+        return (v - jnp.floor(v)) - 0.5
+
+    rad2 = 2.0 * cam[P_LRAD]
+    return jnp.stack(
+        [
+            j1(jnp.float32(0.17 * kk + 0.05)),
+            j1(jnp.float32(0.29 * kk + 0.11)),
+            j1(jnp.float32(0.41 * kk + 0.23)),
+        ],
+        axis=-1,
+    ) * rad2
+
+
+def direct_occlusion(vol, coarse_full, cam, q, coords, found, *,
+                     grid_size, width, height, slabs, soft_k=1,
+                     interpret=False):
+    """Direct-light occlusion quotient [H, W]: hard (one kernel ray per
+    pixel) or soft (``soft_k`` jittered area-light samples averaged,
+    renderer.py:212-224)."""
+    light = cam[P_LIGHT : P_LIGHT + 3]
+    occ_sum = jnp.zeros((height, width), jnp.float32)
+    for kk in range(max(1, soft_k)):
+        if soft_k > 1:
+            target = light + soft_shadow_jitter(cam, kk, width, height)
+        else:
+            target = jnp.broadcast_to(light, q.shape)
+        occluded = shadow_occlusion(
+            vol, coarse_full, cam, q, target, coords, found,
+            grid_size=grid_size, width=width, height=height, slabs=slabs,
+            interpret=interpret,
+        )
+        occ_sum = occ_sum + jnp.where(
+            occluded, jnp.float32(0.0095), jnp.float32(1.0)
+        )
+    return occ_sum / jnp.float32(max(1, soft_k))
+
+
+def indirect_bounce(vol, coarse_full, cam, q, origin, coords, found, *,
+                    grid_size, width, height, slabs, interpret=False):
+    """One-bounce GI (wgsl:307-377; semantics of renderer.py:283-350 with
+    the stochastic shadow march replaced by cell-exact occlusion kernels).
+    Works for any grid size the slab machinery supports — including the
+    fused path (one (0, n) slab), whose in-kernel GI variant was
+    compile-prohibitive at 256³.  Returns rgb [H, W, 3] to add."""
+    from . import brdf
+    from .intersect import (
+        FULL_CUBE_SIZE,
+        HALF_CUBE_SIZE,
+        cube_face_normal,
+        get_cell_state,
+        ray_cube_intersect,
+    )
+    from .renderer import _INDIRECT_LAYERS
+
+    n = grid_size
+    packed_flat = vol.reshape(-1)
+    cell = jnp.float32(FULL_CUBE_SIZE / n)
+    vis_half = cell * cam[P_CELLMUL] * 0.5
+    light = cam[P_LIGHT : P_LIGHT + 3]
+    o = cam[P_O : P_O + 3]
+    lmag3 = jnp.broadcast_to(cam[P_LMAG], q.shape)
+    emis = cam[P_EMIS : P_EMIS + 3] * cam[P_EMISS]
+
+    normal = cube_face_normal(q, origin)
+    face = jnp.where(
+        jnp.abs(normal[..., 0]) > 0.5,
+        jnp.where(normal[..., 0] < 0, 0, 1),
+        jnp.where(
+            jnp.abs(normal[..., 1]) > 0.5,
+            jnp.where(normal[..., 1] < 0, 2, 3),
+            jnp.where(normal[..., 2] < 0, 4, 5),
+        ),
+    )
+    layers = jnp.asarray(_INDIRECT_LAYERS)  # [6, 4, 3]
+    total = jnp.zeros_like(q)
+    for i in range(4):
+        off = jnp.take(layers[:, i, :], face, axis=0)       # [H, W, 3] i32
+        n_coords = coords + off
+        n_cl = jnp.maximum(n_coords, 0)
+        n_state = get_cell_state(packed_flat, n_cl, n)
+        n_origin = (
+            n_coords.astype(jnp.float32) * cell + cell * 0.5 - HALF_CUBE_SIZE
+        )
+        n_dir = off.astype(jnp.float32)  # unnormalized, as in the reference
+        t_near, t_far = ray_cube_intersect(q, n_dir, n_origin, vis_half)
+        ok = found & (n_state == 1) & (t_near <= t_far) & (t_far >= 0.0)
+        n_point = q + n_dir * t_near[..., None]
+
+        occluded = shadow_occlusion(
+            vol, coarse_full, cam, n_point,
+            jnp.broadcast_to(light, q.shape), n_cl, ok,
+            grid_size=n, width=width, height=height, slabs=slabs,
+            interpret=interpret,
+        )
+        occ = jnp.where(occluded, jnp.float32(0.0095), jnp.float32(1.0))
+        reflected = occ[..., None] * brdf.calculate_lighting_at(
+            n_point, n_origin, n_cl, q, lmag3, light,
+            grid_size=n, roughness=cam[P_ROUGH],
+            material_color=cam[P_MATC : P_MATC + 3],
+            base_reflectivity=cam[P_REFL : P_REFL + 3],
+        )
+        reflected = reflected + emis
+        bounce = brdf.calculate_lighting_at(
+            q, origin, coords, o, reflected, n_point,
+            grid_size=n, roughness=cam[P_ROUGH],
+            material_color=cam[P_MATC : P_MATC + 3],
+            base_reflectivity=cam[P_REFL : P_REFL + 3],
+        )
+        total = total + jnp.where(ok[..., None], bounce, 0.0)
+    return total
+
+
+def hit_geometry(cam, idx_img, t_img, *, grid_size, width, height):
+    """(q, origin, coords, found, d, crossed_tf) from a composited hit
+    image — the shared XLA geometry for shadows/GI/shading."""
+    from .intersect import FULL_CUBE_SIZE, HALF_CUBE_SIZE
+
+    n = grid_size
+    found = idx_img >= 0
+    win_w = cam[P_WIN]
+    win_h = cam[P_WIN + 1]
+    pxs = jnp.arange(width, dtype=jnp.float32)[None, :]
+    pys = jnp.arange(height, dtype=jnp.float32)[:, None]
+    ux = (pxs + 0.5) / win_w + jnp.zeros((height, 1), jnp.float32)
+    uy = (
+        1.0 - (pys + cam[P_ROW0] + 0.5) / win_h
+        + jnp.zeros((1, width), jnp.float32)
+    )
+    rx = (ux - 0.5) * (win_w / win_h)
+    ry = uy - 0.5
+    rz = jnp.full_like(rx, -0.5 * COT_HALF_FOV)
+    norm = jax.lax.rsqrt(rx * rx + ry * ry + rz * rz)
+    ray_cam = jnp.stack([rx * norm, ry * norm, rz * norm], axis=-1)
+    rot = jnp.stack(
+        [cam[P_R00 : P_R00 + 3], cam[P_R00 + 3 : P_R00 + 6],
+         cam[P_R00 + 6 : P_R00 + 9]]
+    )
+    d = ray_cam @ rot.T
+    o = cam[P_O : P_O + 3]
+    t1v = (-0.5 - o) / d
+    t2v = (0.5 - o) / d
+    tf = jnp.min(jnp.maximum(t1v, t2v), axis=-1)
+    tn = jnp.max(jnp.minimum(t1v, t2v), axis=-1)
+    crossed = (tn <= tf) & (tf >= 0.0)
+
+    q = o + d * t_img[..., None]
+    hxv = idx_img % n
+    hyv = (idx_img // n) % n
+    hzv = idx_img // (n * n)
+    coords = jnp.stack([hxv, hyv, hzv], axis=-1)
+    cell = jnp.float32(FULL_CUBE_SIZE / n)
+    origin = (
+        coords.astype(jnp.float32) * cell + cell * 0.5 - HALF_CUBE_SIZE
+    )
+    return q, origin, coords, found, jnp.where(crossed, tf, 0.0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "grid_size", "width", "height", "shadow", "interpret", "total_states",
-        "soft_shadow_samples", "slab_planes",
+        "soft_shadow_samples", "indirect", "slab_planes",
     ),
 )
 def raytrace_sliced(
@@ -250,13 +492,14 @@ def raytrace_sliced(
     interpret: bool = False,
     total_states: int = 2,
     soft_shadow_samples: int = 1,
+    indirect: bool = False,
     slab_planes: int | None = None,  # override for tests (multiple of 32)
 ):
     """Trace all pixels of an n > 256 volume via z-slab decomposition.
     Returns (light_rgb [H,W,3], depth [H,W], hit_idx [H,W]) — the same
-    contract as render_fast.raytrace_tiles."""
+    contract as render_fast.raytrace_tiles.  Emissive radiance is NOT
+    added here (the wrapper owns it, renderer_fast.trace_shaded)."""
     from . import brdf
-    from .intersect import FULL_CUBE_SIZE, HALF_CUBE_SIZE
 
     n = grid_size
     if n > MAX_SLICED_GRID:
@@ -338,130 +581,25 @@ def raytrace_sliced(
         age_all = jnp.stack(age_parts)
         age_blk = jnp.take_along_axis(age_all, best[None], axis=0)[0]
 
-    # ---- geometry in XLA (pixel rays, volume exit, hit points) ---------
+    # ---- geometry + shadows + shading in XLA ---------------------------
     idx_img = _from_blocks(idx, width, height)
     t_img = _from_blocks(t_hit, width, height)
-    found = idx_img >= 0
-
-    win_w = cam[P_WIN]
-    win_h = cam[P_WIN + 1]
-    pxs = jnp.arange(width, dtype=jnp.float32)[None, :]
-    pys = jnp.arange(height, dtype=jnp.float32)[:, None]
-    ux = (pxs + 0.5) / win_w + jnp.zeros((height, 1), jnp.float32)
-    uy = (
-        1.0 - (pys + cam[P_ROW0] + 0.5) / win_h
-        + jnp.zeros((1, width), jnp.float32)
+    q, origin, coords, found, tf_miss = hit_geometry(
+        cam, idx_img, t_img, grid_size=n, width=width, height=height
     )
-    rx = (ux - 0.5) * (win_w / win_h)
-    ry = uy - 0.5
-    rz = jnp.full_like(rx, -0.5 * COT_HALF_FOV)
-    norm = jax.lax.rsqrt(rx * rx + ry * ry + rz * rz)
-    ray_cam = jnp.stack([rx * norm, ry * norm, rz * norm], axis=-1)
-    rot = jnp.stack(
-        [cam[P_R00 : P_R00 + 3], cam[P_R00 + 3 : P_R00 + 6],
-         cam[P_R00 + 6 : P_R00 + 9]]
-    )
-    d = ray_cam @ rot.T                             # [H, W, 3]
-    o = cam[P_O : P_O + 3]
-    t1v = (-0.5 - o) / d
-    t2v = (0.5 - o) / d
-    tf = jnp.min(jnp.maximum(t1v, t2v), axis=-1)
-    tn = jnp.max(jnp.minimum(t1v, t2v), axis=-1)
-    crossed = (tn <= tf) & (tf >= 0.0)
-    depth = jnp.where(found, t_img, jnp.where(crossed, tf, 0.0))
+    depth = jnp.where(found, t_img, tf_miss)
 
-    q = o + d * t_img[..., None]                    # hit points [H, W, 3]
-    hxv = idx_img % n
-    hyv = (idx_img // n) % n
-    hzv = idx_img // (n * n)
-    cell = jnp.float32(FULL_CUBE_SIZE / n)
-    origin = (
-        jnp.stack([hxv, hyv, hzv], axis=-1).astype(jnp.float32) * cell
-        + cell * 0.5
-        - HALF_CUBE_SIZE
-    )
-
-    # ---- shadows: per-slab occlusion kernels over the hit points -------
-    light = cam[P_LIGHT : P_LIGHT + 3]
     if shadow:
-        soft_k = max(1, soft_shadow_samples)
-        occ_sum = jnp.zeros((height, width), jnp.float32)
-        for kk in range(soft_k):
-            if soft_k > 1:
-                tfrac = cam[P_TIME] - jnp.floor(cam[P_TIME])
-
-                def j1(cst):
-                    ax = 0.07 * tfrac + ux + cst
-                    ay = 0.07 * tfrac + uy + cst
-                    v = jnp.sin(ax * 12.9898 + ay * 78.233) * 43758.5453
-                    return (v - jnp.floor(v)) - 0.5
-
-                rad2 = 2.0 * cam[P_LRAD]
-                jit3 = jnp.stack(
-                    [
-                        j1(jnp.float32(0.17 * kk + 0.05)),
-                        j1(jnp.float32(0.29 * kk + 0.11)),
-                        j1(jnp.float32(0.41 * kk + 0.23)),
-                    ],
-                    axis=-1,
-                ) * rad2
-                target = light + jit3
-            else:
-                target = jnp.broadcast_to(light, q.shape)
-            sd = target - q
-            sd = sd * jax.lax.rsqrt(jnp.sum(sd * sd, axis=-1, keepdims=True))
-            e1 = (-0.5 - q) / sd
-            e2 = (0.5 - q) / sd
-            sh_tf = jnp.min(jnp.maximum(e1, e2), axis=-1)
-
-            args = [
-                _to_blocks(q[..., 0], width, height),
-                _to_blocks(q[..., 1], width, height),
-                _to_blocks(q[..., 2], width, height),
-                _to_blocks(sd[..., 0], width, height, fill=1),
-                _to_blocks(sd[..., 1], width, height, fill=1),
-                _to_blocks(sd[..., 2], width, height, fill=1),
-                _to_blocks(sh_tf, width, height),
-                _to_blocks(hxv, width, height),
-                _to_blocks(hyv, width, height),
-                _to_blocks(hzv, width, height),
-                _to_blocks(found.astype(jnp.int32), width, height),
-            ]
-            occluded = jnp.zeros((tiles * SUB, LANE), jnp.int32)
-            for z0, zext in slabs:
-                vol2d = _vol2d_slab(vol, z0, zext, n)
-                col, c2, zrange = _slab_occupancy(coarse_full, z0, zext, n)
-                kernel = _make_shadow_kernel(n, z0, zext)
-                occ = pl.pallas_call(
-                    kernel,
-                    grid=(tiles,),
-                    out_shape=blk_i32,
-                    in_specs=(
-                        [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
-                        + [pl.BlockSpec((SUB, LANE), lambda t: (t, 0))] * 11
-                        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
-                    ),
-                    out_specs=out_spec,
-                    scratch_shapes=[
-                        pltpu.VMEM((SUB, LANE), jnp.int32),
-                        pltpu.VMEM((SUB, LANE), jnp.float32),
-                        pltpu.VMEM((SUB, LANE), jnp.int32),
-                        pltpu.VMEM((SUB, LANE), jnp.int32),
-                        pltpu.VMEM((SUB, LANE), jnp.int32),
-                    ] + list(ray_scratch),
-                    interpret=interpret,
-                )(cam, zrange, *args, vol2d, col, c2)
-                occluded = occluded | occ
-            occ_img = _from_blocks(occluded, width, height)
-            occ_sum = occ_sum + jnp.where(
-                occ_img == 1, jnp.float32(0.0095), jnp.float32(1.0)
-            )
-        occl = occ_sum / jnp.float32(soft_k)
+        occl = direct_occlusion(
+            vol, coarse_full, cam, q, coords, found,
+            grid_size=n, width=width, height=height, slabs=slabs,
+            soft_k=soft_shadow_samples, interpret=interpret,
+        )
     else:
         occl = jnp.ones((height, width), jnp.float32)
 
-    # ---- shading (XLA, exact-pipeline BRDF) -----------------------------
-    coords = jnp.stack([hxv, hyv, hzv], axis=-1)
+    light = cam[P_LIGHT : P_LIGHT + 3]
+    o = cam[P_O : P_O + 3]
     color = brdf.calculate_lighting_at(
         q, origin, coords, o,
         jnp.broadcast_to(cam[P_LMAG], q.shape),  # [..., 3] radiance
@@ -480,9 +618,12 @@ def raytrace_sliced(
             1.0,
         )
         occl = occl * fade
-    from .render_fast import P_EMIS, P_EMISS
-
-    out = color * occl[..., None]
-    out = out + cam[P_EMIS : P_EMIS + 3] * cam[P_EMISS]
-    rgb = jnp.where(found[..., None], jnp.maximum(out, 0.0), 0.0)
+    out = jnp.maximum(color, 0.0) * occl[..., None]
+    if indirect:
+        out = out + indirect_bounce(
+            vol, coarse_full, cam, q, origin, coords, found,
+            grid_size=n, width=width, height=height, slabs=slabs,
+            interpret=interpret,
+        )
+    rgb = jnp.where(found[..., None], out, 0.0)
     return rgb, depth, idx_img

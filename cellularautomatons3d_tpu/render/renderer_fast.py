@@ -51,6 +51,99 @@ def init_fast_history(width: int, height: int) -> FastHistory:
     )
 
 
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+def trace_shaded(
+    s: RenderStatic,
+    packed: jnp.ndarray,
+    cam: jnp.ndarray,
+    ages: jnp.ndarray | None = None,
+    total_states: int = 2,
+    interpret: bool = False,
+):
+    """Traced + shaded scene: (rgb [H,W,3] linear light, depth, hit_idx).
+
+    Composition of the Pallas traversal kernels with the extended lighting
+    model.  The fused kernel handles primary rays + the hard direct shadow
+    in one launch (the common fast path); soft shadows and the one-bounce
+    GI run as extra occlusion-kernel passes + XLA shading — the in-kernel
+    variants unrolled past practical Mosaic compile times at 256³, and the
+    decomposition shares one implementation with the > 256³ sliced path
+    (render_slab.py).  Emissive radiance is added here for every path.
+    """
+    h, w = s.height, s.width
+    n = s.grid_size
+    soft = s.soft_shadow_samples > 1
+    gi = s.indirect_lighting
+    if n <= 256:
+        rgb, depth, idx = raytrace_tiles(
+            packed,
+            coarse_occupancy(packed),
+            cam,
+            ages,
+            grid_size=n,
+            width=w,
+            height=h,
+            # Soft shadows come from decomposed occlusion passes below.
+            shadow=not soft,
+            interpret=interpret,
+            total_states=total_states,
+        )
+        if soft or gi:
+            from .render_slab import (
+                direct_occlusion,
+                hit_geometry,
+                indirect_bounce,
+            )
+            from ..ops.occupancy import coarse_occupancy as _co
+
+            slabs = [(0, n)]
+            coarse_full = _co(packed)
+            q, origin, coords, found, _ = hit_geometry(
+                cam, idx, depth, grid_size=n, width=w, height=h
+            )
+            if soft:
+                occl = direct_occlusion(
+                    packed, coarse_full, cam, q, coords, found,
+                    grid_size=n, width=w, height=h, slabs=slabs,
+                    soft_k=s.soft_shadow_samples, interpret=interpret,
+                )
+                # The kernel output is unshadowed (but age-faded) direct
+                # light; the soft occlusion multiplies it here.
+                rgb = rgb * occl[..., None]
+            if gi:
+                rgb = rgb + jnp.where(
+                    found[..., None],
+                    indirect_bounce(
+                        packed, coarse_full, cam, q, origin, coords, found,
+                        grid_size=n, width=w, height=h, slabs=slabs,
+                        interpret=interpret,
+                    ),
+                    0.0,
+                )
+    else:
+        from .render_slab import raytrace_sliced
+
+        rgb, depth, idx = raytrace_sliced(
+            packed,
+            cam,
+            ages,
+            grid_size=n,
+            width=w,
+            height=h,
+            interpret=interpret,
+            total_states=total_states,
+            soft_shadow_samples=s.soft_shadow_samples,
+            indirect=s.indirect_lighting,
+        )
+    # Emissive cells: surfaces add their own radiance, neither shadowed
+    # nor age-faded (renderer.py:263-264).
+    from .render_fast import P_EMIS, P_EMISS
+
+    emis = cam[P_EMIS : P_EMIS + 3] * cam[P_EMISS]
+    rgb = jnp.where((idx >= 0)[..., None], rgb + emis, rgb)
+    return rgb, depth, idx
+
+
 @functools.partial(jax.jit, static_argnums=(0, 4, 6, 8))
 def render_frame_fast(
     s: RenderStatic,
@@ -98,38 +191,11 @@ def render_frame_fast(
             jnp.zeros((7,), jnp.float32),
         ]
     )
-    if s.grid_size <= 256:
-        rgb, depth, idx = raytrace_tiles(
-            packed,
-            coarse_occupancy(packed),
-            cam,
-            ages,
-            grid_size=s.grid_size,
-            width=w,
-            height=h,
-            # The Pallas TPU kernel has no CPU lowering — interpret off-TPU.
-            interpret=jax.default_backend() == "cpu",
-            total_states=total_states,
-            soft_shadow_samples=s.soft_shadow_samples,
-            indirect=s.indirect_lighting,
-        )
-    else:
-        # Volume exceeds VMEM: z-slab decomposition + XLA composite
-        # (render_slab.py).  GI is fused-path only; shadows/soft
-        # shadows/emissive/ages are supported.
-        from .render_slab import raytrace_sliced
-
-        rgb, depth, idx = raytrace_sliced(
-            packed,
-            cam,
-            ages,
-            grid_size=s.grid_size,
-            width=w,
-            height=h,
-            interpret=jax.default_backend() == "cpu",
-            total_states=total_states,
-            soft_shadow_samples=s.soft_shadow_samples,
-        )
+    rgb, depth, idx = trace_shaded(
+        s, packed, cam, ages, total_states,
+        # The Pallas TPU kernel has no CPU lowering — interpret off-TPU.
+        jax.default_backend() == "cpu",
+    )
 
     # Global-window UVs for this (possibly row-sharded) pixel range.
     xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w

@@ -217,20 +217,30 @@ def test_fast_shadowing():
     assert ratio < 0.05  # occlusion factor 0.0095 applied
 
 
+def shaded(dense, cam, **static_kw):
+    """trace_shaded over a scene: the full extended-lighting composition."""
+    from cellularautomatons3d_tpu.render import renderer as R
+    from cellularautomatons3d_tpu.render.renderer_fast import trace_shaded
+
+    s = R.RenderStatic(
+        width=W_IMG, height=H_IMG, grid_size=N, depth_samples=8,
+        shadow_samples=8, **static_kw,
+    )
+    vol, _ = prep(dense)
+    return trace_shaded(s, vol, cam, None, 2, True)
+
+
 def test_fast_emissive_adds_unshadowed_radiance():
     """Emissive cells add their own radiance after shadowing
     (renderer.py:263-264): delta = emissive_color * strength on hits."""
     dense = np.zeros((N, N, N), np.uint8)
     dense[40, 28:34, 28:34] = 1
-    vol, coarse = prep(dense)
     cam_plain, _ = default_cam()
     cam_emis, _ = default_cam(
         emissive_color=(0.1, 0.2, 0.3), emissive_strength=0.5
     )
-    kw = dict(grid_size=N, width=W_IMG, height=H_IMG, shadow=False,
-              interpret=True)
-    rgb0, _, idx = raytrace_tiles(vol, coarse, cam_plain, **kw)
-    rgb1, _, _ = raytrace_tiles(vol, coarse, cam_emis, **kw)
+    rgb0, _, idx = shaded(dense, cam_plain)
+    rgb1, _, _ = shaded(dense, cam_emis)
     hit = np.asarray(idx) >= 0
     delta = np.asarray(rgb1)[hit] - np.asarray(rgb0)[hit]
     np.testing.assert_allclose(
@@ -240,22 +250,19 @@ def test_fast_emissive_adds_unshadowed_radiance():
 
 
 def test_fast_soft_shadows_penumbra():
-    """A finite light radius + multiple jittered shadow sweeps produce
-    partial occlusion (between the hard-shadow quotient and 1) somewhere,
-    and average the same scene the hard path sees (renderer.py:212-224)."""
+    """A finite light radius + multiple jittered occlusion passes produce
+    partial occlusion (between the hard-shadow quotient and 1) somewhere
+    (renderer.py:212-224)."""
     dense = np.zeros((N, N, N), np.uint8)
     dense[40, 24:40, 24:40] = 1       # wall facing the camera
     dense[44:46, 34:44, 30:34] = 1    # small occluder toward the light
     vol, coarse = prep(dense)
     kw = dict(grid_size=N, width=W_IMG, height=H_IMG, interpret=True)
     cam_hard, _ = default_cam()
-    rgb_h, _, idx = raytrace_tiles(vol, coarse, cam_hard, shadow=True, **kw)
-    rgb_n, _, _ = raytrace_tiles(vol, coarse, cam_hard, shadow=False, **kw)
+    rgb_n, _, idx = raytrace_tiles(vol, coarse, cam_hard, shadow=False, **kw)
     cam_soft, _ = default_cam(light_radius=0.25, elapsed_time=0.3)
-    rgb_s, _, _ = raytrace_tiles(
-        vol, coarse, cam_soft, shadow=True, soft_shadow_samples=8, **kw
-    )
-    rgb_h, rgb_n, rgb_s = map(np.asarray, (rgb_h, rgb_n, rgb_s))
+    rgb_s, _, _ = shaded(dense, cam_soft, soft_shadow_samples=8)
+    rgb_n, rgb_s = map(np.asarray, (rgb_n, rgb_s))
     hit = (np.asarray(idx) >= 0) & (rgb_n.sum(-1) > 1e-3)
     # soft stays within [hard-shadowed, unshadowed] bounds...
     assert (rgb_s[hit] <= rgb_n[hit] + 1e-4).all()
@@ -265,9 +272,9 @@ def test_fast_soft_shadows_penumbra():
 
 
 def test_fast_indirect_matches_exact_renderer():
-    """GI parity: on an unshadowed 2-cell scene the fast kernel's output
-    with indirect=True must equal the exact pipeline's direct +
-    _indirect_lighting + emissive at the same snapped hit point."""
+    """GI parity: on an unshadowed 2-cell scene the decomposed GI path's
+    output must equal the exact pipeline's direct + _indirect_lighting +
+    emissive at the same snapped hit point."""
     from cellularautomatons3d_tpu.render import brdf
     from cellularautomatons3d_tpu.render import renderer as R
     from cellularautomatons3d_tpu.render.renderer import _indirect_lighting
@@ -276,15 +283,12 @@ def test_fast_indirect_matches_exact_renderer():
     dense = np.zeros((N, N, N), np.uint8)
     dense[40, 31, 31] = 1   # target (z=40, y=31, x=31), camera looks at +z face
     dense[41, 31, 32] = 1   # face-5 slot neighbour (+1, 0, +1)
-    vol, coarse = prep(dense)
     emis_c = (0.02, 0.03, 0.04)
     emis_s = 0.5
     cam, view = default_cam(emissive_color=emis_c, emissive_strength=emis_s)
-    rgb, depth, idx = raytrace_tiles(
-        vol, coarse, cam, grid_size=N, width=W_IMG, height=H_IMG,
-        shadow=True, interpret=True, indirect=True,
-    )
+    rgb, depth, idx = shaded(dense, cam, indirect_lighting=True)
     rgb, depth, idx = map(np.asarray, (rgb, depth, idx))
+    vol, coarse = prep(dense)
     target = 31 + 31 * N + 40 * N * N
     ys, xs = np.nonzero(idx == target)
     assert len(ys) > 0

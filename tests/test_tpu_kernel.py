@@ -27,11 +27,7 @@ def _scene(N=64):
 
 
 @needs_tpu
-@pytest.mark.parametrize("kw", [
-    dict(),
-    dict(soft_shadow_samples=4),
-    dict(indirect=True),
-])
+@pytest.mark.parametrize("kw", [dict(shadow=True), dict(shadow=False)])
 def test_compiled_kernel_matches_interpret(kw):
     import jax.numpy as jnp
     import cellularautomatons3d_tpu as ca
@@ -50,11 +46,43 @@ def test_compiled_kernel_matches_interpret(kw):
         0.85, 0.29, (0.17,) * 3, (0.0,) * 3,
         light_radius=0.1, elapsed_time=0.3,
     ))
-    args = dict(grid_size=N, width=W, height=H, shadow=True, **kw)
+    args = dict(grid_size=N, width=W, height=H, **kw)
     c_rgb, c_d, c_i = raytrace_tiles(vol, coarse, cam, interpret=False, **args)
     i_rgb, i_d, i_i = raytrace_tiles(vol, coarse, cam, interpret=True, **args)
     np.testing.assert_array_equal(np.asarray(c_i), np.asarray(i_i))
     np.testing.assert_allclose(np.asarray(c_d), np.asarray(i_d), atol=3e-5)
+    np.testing.assert_allclose(
+        np.asarray(c_rgb), np.asarray(i_rgb), rtol=3e-3, atol=3e-4
+    )
+
+
+@needs_tpu
+def test_compiled_gi_soft_matches_interpret():
+    """The decomposed extended-lighting path (GI + soft shadows) on chip
+    vs interpret mode."""
+    import jax.numpy as jnp
+    import cellularautomatons3d_tpu as ca
+    from cellularautomatons3d_tpu.render import renderer as R
+    from cellularautomatons3d_tpu.render.render_fast import pack_cam
+    from cellularautomatons3d_tpu.render.renderer_fast import trace_shaded
+    from cellularautomatons3d_tpu.utils import mat4
+
+    N, W, H = 64, 128, 64
+    dense = _scene(N)
+    vol = jnp.asarray(ca.pack_grid(dense))
+    cam = jnp.asarray(pack_cam(
+        mat4.initial_view_matrix(), W, H, (0.721, 1.0, 1.0), 5.0,
+        0.85, 0.29, (0.17,) * 3, (0.0,) * 3,
+        light_radius=0.1, emissive_color=(0.02, 0.02, 0.02),
+        emissive_strength=0.3, elapsed_time=0.3,
+    ))
+    s = R.RenderStatic(
+        width=W, height=H, grid_size=N, depth_samples=8, shadow_samples=8,
+        indirect_lighting=True, soft_shadow_samples=4,
+    )
+    c_rgb, _, c_i = trace_shaded(s, vol, cam, None, 2, False)
+    i_rgb, _, i_i = trace_shaded(s, vol, cam, None, 2, True)
+    np.testing.assert_array_equal(np.asarray(c_i), np.asarray(i_i))
     np.testing.assert_allclose(
         np.asarray(c_rgb), np.asarray(i_rgb), rtol=3e-3, atol=3e-4
     )
