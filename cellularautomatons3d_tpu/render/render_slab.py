@@ -233,50 +233,70 @@ def _from_blocks(x, width, height):
     return x.reshape(nby * BH, nbx * BW)[:height, :width]
 
 
-def shadow_occlusion(vol, coarse_full, cam, start, target, excl, active, *,
-                     grid_size, width, height, slabs, interpret=False):
-    """Cell-exact occlusion of per-pixel rays from ``start`` [H,W,3] toward
-    ``target`` [H,W,3], excluding cell ``excl`` [H,W,3] (int, the ray's own
-    start cell, wgsl:665-674).  Runs one occlusion kernel per z-slab and
-    ORs — also the building block for soft shadows (jittered targets) and
-    the indirect bounce (neighbour start points).  Returns bool [H, W]."""
+def prep_slabs(vol, slabs, grid_size):
+    """Per-slab kernel operands (packed layout + occupancy structures),
+    computed once per frame and shared across every occlusion pass."""
+    coarse_full = coarse_occupancy(vol)
+    out = []
+    for z0, zext in slabs:
+        vol2d = _vol2d_slab(vol, z0, zext, grid_size)
+        col, c2, zrange = _slab_occupancy(coarse_full, z0, zext, grid_size)
+        out.append((z0, zext, vol2d, col, c2, zrange))
+    return out
+
+
+def shadow_occlusion_batch(cam, queries, prepped, *, grid_size, width,
+                           height, interpret=False):
+    """Cell-exact occlusion for a BATCH of per-pixel ray queries.
+
+    ``queries``: list of (start [H,W,3], target [H,W,3], excl [H,W,3] int,
+    active [H,W] bool) — e.g. the k jittered soft-shadow samples, or the
+    4 indirect-bounce slots.  All queries run in ONE kernel launch per
+    slab (grid = len(queries)·tiles): batching amortizes the launch and
+    the per-sweep fixed machinery that dominated per-query launches.
+    Returns list of bool [H, W] occlusion masks (ORed over slabs).
+    """
     n = grid_size
     nbx = pl.cdiv(width, BW)
     nby = pl.cdiv(height, BH)
     tiles = nbx * nby
-    blk_i32 = jax.ShapeDtypeStruct((tiles * SUB, LANE), jnp.int32)
+    nq = len(queries)
+    blk_i32 = jax.ShapeDtypeStruct((nq * tiles * SUB, LANE), jnp.int32)
     out_spec = pl.BlockSpec((SUB, LANE), lambda t: (t, 0))
     ray_scratch = [
         pltpu.VMEM((SUB, LANE), jnp.float32) for _ in range(8)
     ] + [pltpu.VMEM((SUB, LANE), jnp.int32)]
 
-    sd = target - start
-    sd = sd * jax.lax.rsqrt(jnp.sum(sd * sd, axis=-1, keepdims=True))
-    e1 = (-0.5 - start) / sd
-    e2 = (0.5 - start) / sd
-    sh_tf = jnp.min(jnp.maximum(e1, e2), axis=-1)
+    cols = [[] for _ in range(11)]
+    for start, target, excl, active in queries:
+        sd = target - start
+        sd = sd * jax.lax.rsqrt(jnp.sum(sd * sd, axis=-1, keepdims=True))
+        e1 = (-0.5 - start) / sd
+        e2 = (0.5 - start) / sd
+        sh_tf = jnp.min(jnp.maximum(e1, e2), axis=-1)
+        parts = [
+            _to_blocks(start[..., 0], width, height),
+            _to_blocks(start[..., 1], width, height),
+            _to_blocks(start[..., 2], width, height),
+            _to_blocks(sd[..., 0], width, height, fill=1),
+            _to_blocks(sd[..., 1], width, height, fill=1),
+            _to_blocks(sd[..., 2], width, height, fill=1),
+            _to_blocks(sh_tf, width, height),
+            _to_blocks(excl[..., 0], width, height),
+            _to_blocks(excl[..., 1], width, height),
+            _to_blocks(excl[..., 2], width, height),
+            _to_blocks(active.astype(jnp.int32), width, height),
+        ]
+        for c, p in zip(cols, parts):
+            c.append(p)
+    args = [jnp.concatenate(c, axis=0) for c in cols]
 
-    args = [
-        _to_blocks(start[..., 0], width, height),
-        _to_blocks(start[..., 1], width, height),
-        _to_blocks(start[..., 2], width, height),
-        _to_blocks(sd[..., 0], width, height, fill=1),
-        _to_blocks(sd[..., 1], width, height, fill=1),
-        _to_blocks(sd[..., 2], width, height, fill=1),
-        _to_blocks(sh_tf, width, height),
-        _to_blocks(excl[..., 0], width, height),
-        _to_blocks(excl[..., 1], width, height),
-        _to_blocks(excl[..., 2], width, height),
-        _to_blocks(active.astype(jnp.int32), width, height),
-    ]
-    occluded = jnp.zeros((tiles * SUB, LANE), jnp.int32)
-    for z0, zext in slabs:
-        vol2d = _vol2d_slab(vol, z0, zext, n)
-        col, c2, zrange = _slab_occupancy(coarse_full, z0, zext, n)
+    occluded = jnp.zeros((nq * tiles * SUB, LANE), jnp.int32)
+    for z0, zext, vol2d, col, c2, zrange in prepped:
         kernel = _make_shadow_kernel(n, z0, zext)
         occ = pl.pallas_call(
             kernel,
-            grid=(tiles,),
+            grid=(nq * tiles,),
             out_shape=blk_i32,
             in_specs=(
                 [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
@@ -294,7 +314,8 @@ def shadow_occlusion(vol, coarse_full, cam, start, target, excl, active, *,
             interpret=interpret,
         )(cam, zrange, *args, vol2d, col, c2)
         occluded = occluded | occ
-    return _from_blocks(occluded, width, height) == 1
+    per_q = occluded.reshape(nq, tiles * SUB, LANE)
+    return [_from_blocks(per_q[i], width, height) == 1 for i in range(nq)]
 
 
 def soft_shadow_jitter(cam, kk, width, height):
@@ -329,37 +350,39 @@ def soft_shadow_jitter(cam, kk, width, height):
     ) * rad2
 
 
-def direct_occlusion(vol, coarse_full, cam, q, coords, found, *,
-                     grid_size, width, height, slabs, soft_k=1,
-                     interpret=False):
+def direct_occlusion(cam, q, coords, found, prepped, *,
+                     grid_size, width, height, soft_k=1, interpret=False):
     """Direct-light occlusion quotient [H, W]: hard (one kernel ray per
     pixel) or soft (``soft_k`` jittered area-light samples averaged,
-    renderer.py:212-224)."""
+    renderer.py:212-224); all samples batched into one launch."""
     light = cam[P_LIGHT : P_LIGHT + 3]
-    occ_sum = jnp.zeros((height, width), jnp.float32)
+    queries = []
     for kk in range(max(1, soft_k)):
         if soft_k > 1:
             target = light + soft_shadow_jitter(cam, kk, width, height)
         else:
             target = jnp.broadcast_to(light, q.shape)
-        occluded = shadow_occlusion(
-            vol, coarse_full, cam, q, target, coords, found,
-            grid_size=grid_size, width=width, height=height, slabs=slabs,
-            interpret=interpret,
-        )
+        queries.append((q, target, coords, found))
+    occs = shadow_occlusion_batch(
+        cam, queries, prepped, grid_size=grid_size, width=width,
+        height=height, interpret=interpret,
+    )
+    occ_sum = jnp.zeros((height, width), jnp.float32)
+    for occluded in occs:
         occ_sum = occ_sum + jnp.where(
             occluded, jnp.float32(0.0095), jnp.float32(1.0)
         )
     return occ_sum / jnp.float32(max(1, soft_k))
 
 
-def indirect_bounce(vol, coarse_full, cam, q, origin, coords, found, *,
-                    grid_size, width, height, slabs, interpret=False):
+def indirect_bounce(vol, cam, q, origin, coords, found, prepped, *,
+                    grid_size, width, height, interpret=False):
     """One-bounce GI (wgsl:307-377; semantics of renderer.py:283-350 with
-    the stochastic shadow march replaced by cell-exact occlusion kernels).
-    Works for any grid size the slab machinery supports — including the
-    fused path (one (0, n) slab), whose in-kernel GI variant was
-    compile-prohibitive at 256³.  Returns rgb [H, W, 3] to add."""
+    the stochastic shadow march replaced by cell-exact occlusion kernels,
+    all 4 neighbour slots batched into one launch).  Works for any grid
+    size the slab machinery supports — including the fused path (one
+    (0, n) slab), whose in-kernel GI variant was compile-prohibitive at
+    256³.  Returns rgb [H, W, 3] to add."""
     from . import brdf
     from .intersect import (
         FULL_CUBE_SIZE,
@@ -390,7 +413,8 @@ def indirect_bounce(vol, coarse_full, cam, q, origin, coords, found, *,
         ),
     )
     layers = jnp.asarray(_INDIRECT_LAYERS)  # [6, 4, 3]
-    total = jnp.zeros_like(q)
+    slots = []
+    queries = []
     for i in range(4):
         off = jnp.take(layers[:, i, :], face, axis=0)       # [H, W, 3] i32
         n_coords = coords + off
@@ -403,13 +427,15 @@ def indirect_bounce(vol, coarse_full, cam, q, origin, coords, found, *,
         t_near, t_far = ray_cube_intersect(q, n_dir, n_origin, vis_half)
         ok = found & (n_state == 1) & (t_near <= t_far) & (t_far >= 0.0)
         n_point = q + n_dir * t_near[..., None]
+        slots.append((n_cl, n_origin, n_point, ok))
+        queries.append((n_point, jnp.broadcast_to(light, q.shape), n_cl, ok))
 
-        occluded = shadow_occlusion(
-            vol, coarse_full, cam, n_point,
-            jnp.broadcast_to(light, q.shape), n_cl, ok,
-            grid_size=n, width=width, height=height, slabs=slabs,
-            interpret=interpret,
-        )
+    occs = shadow_occlusion_batch(
+        cam, queries, prepped, grid_size=n, width=width, height=height,
+        interpret=interpret,
+    )
+    total = jnp.zeros_like(q)
+    for (n_cl, n_origin, n_point, ok), occluded in zip(slots, occs):
         occ = jnp.where(occluded, jnp.float32(0.0095), jnp.float32(1.0))
         reflected = occ[..., None] * brdf.calculate_lighting_at(
             n_point, n_origin, n_cl, q, lmag3, light,
@@ -589,10 +615,13 @@ def raytrace_sliced(
     )
     depth = jnp.where(found, t_img, tf_miss)
 
+    prepped = None
+    if shadow or indirect:
+        prepped = prep_slabs(vol, slabs, n)
     if shadow:
         occl = direct_occlusion(
-            vol, coarse_full, cam, q, coords, found,
-            grid_size=n, width=width, height=height, slabs=slabs,
+            cam, q, coords, found, prepped,
+            grid_size=n, width=width, height=height,
             soft_k=soft_shadow_samples, interpret=interpret,
         )
     else:
@@ -621,8 +650,8 @@ def raytrace_sliced(
     out = jnp.maximum(color, 0.0) * occl[..., None]
     if indirect:
         out = out + indirect_bounce(
-            vol, coarse_full, cam, q, origin, coords, found,
-            grid_size=n, width=width, height=height, slabs=slabs,
+            vol, cam, q, origin, coords, found, prepped,
+            grid_size=n, width=width, height=height,
             interpret=interpret,
         )
     rgb = jnp.where(found[..., None], out, 0.0)

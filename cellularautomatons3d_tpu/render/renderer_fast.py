@@ -93,18 +93,17 @@ def trace_shaded(
                 direct_occlusion,
                 hit_geometry,
                 indirect_bounce,
+                prep_slabs,
             )
-            from ..ops.occupancy import coarse_occupancy as _co
 
-            slabs = [(0, n)]
-            coarse_full = _co(packed)
+            prepped = prep_slabs(packed, [(0, n)], n)
             q, origin, coords, found, _ = hit_geometry(
                 cam, idx, depth, grid_size=n, width=w, height=h
             )
             if soft:
                 occl = direct_occlusion(
-                    packed, coarse_full, cam, q, coords, found,
-                    grid_size=n, width=w, height=h, slabs=slabs,
+                    cam, q, coords, found, prepped,
+                    grid_size=n, width=w, height=h,
                     soft_k=s.soft_shadow_samples, interpret=interpret,
                 )
                 # The kernel output is unshadowed (but age-faded) direct
@@ -114,8 +113,8 @@ def trace_shaded(
                 rgb = rgb + jnp.where(
                     found[..., None],
                     indirect_bounce(
-                        packed, coarse_full, cam, q, origin, coords, found,
-                        grid_size=n, width=w, height=h, slabs=slabs,
+                        packed, cam, q, origin, coords, found, prepped,
+                        grid_size=n, width=w, height=h,
                         interpret=interpret,
                     ),
                     0.0,
