@@ -203,13 +203,15 @@ class Engine:
             emissive_strength=jnp.float32(cfg.emissive_strength),
         )
 
-    def _build_mesh_render(self):
+    def _build_mesh_render(self, camera_static: bool):
         """Pixel-row-sharded fast render over the mesh (config 5).
 
         Each device all-gathers the (small, bit-packed) grid over ICI and
         renders its row shard with global UVs via the kernel's row0 offset.
-        Temporal accumulation is row-local; camera motion rejects history
-        (cell-id validation) rather than reprojecting across shards.
+        Temporal accumulation is row-local; under camera motion, history is
+        reprojected within the shard's rows and pixels reprojecting
+        outside it are rejected (renderer_fast.render_frame_fast), so
+        accumulation survives interactive flight (BASELINE config 5).
         """
         import dataclasses as _dc
 
@@ -237,8 +239,8 @@ class Engine:
                 vis, ages = gathered, None
             row0 = (jax.lax.axis_index(AXIS) * h_local).astype(jnp.float32)
             frame, _, hist = render_frame_fast(
-                s_local, vis, params, FastHistory(hcolor, hidx), True,
-                ages, total_states, row0, s.height,
+                s_local, vis, params, FastHistory(hcolor, hidx),
+                camera_static, ages, total_states, row0, s.height,
             )
             return frame, hist.color, hist.hit_idx
 
@@ -261,9 +263,16 @@ class Engine:
         self._time_ms += dt_ms
         params = self.render_params()
         if self.mesh is not None and self.config.pipeline == "fast":
+            camera_static = bool(
+                np.array_equal(self.camera.view_mat, self.camera.prev_view_mat)
+            )
             if self._mesh_render is None:
-                self._mesh_render = self._build_mesh_render()
-            frame, hcolor, hidx = self._mesh_render(
+                self._mesh_render = {}
+            if camera_static not in self._mesh_render:
+                self._mesh_render[camera_static] = self._build_mesh_render(
+                    camera_static
+                )
+            frame, hcolor, hidx = self._mesh_render[camera_static](
                 self.state, params, self.history.color, self.history.hit_idx
             )
             self.history = FastHistory(color=hcolor, hit_idx=hidx)

@@ -8,7 +8,8 @@ acceleration structure: an 8× downsampled occupancy bitmap — one bit per
 
 Input:  packed ``uint32[W, Z, Y]`` (W = N/32).
 Output: coarse ``uint32[Zc, XG·Yc]`` with Zc = Z/8, Yc = Y/8 and
-XG = max(1, W/8) x-block *groups* of 32 blocks each, laid out group-major
+XG = max(1, ⌈W/8⌉) x-block *groups* of 32 blocks each (the last group is
+partial when W is not a multiple of 8, e.g. grids 288-480), laid out group-major
 along the minor axis: bit ``xc & 31`` of ``coarse[zc, (xc >> 5)·Yc + yc]``
 = any live cell in block (xc, yc, zc).  For N ≤ 256 (XG = 1) this is the
 plain ``[Zc, Yc]`` bitmap.  XG·Yc must stay ≤ 128 for the render kernel's
@@ -31,8 +32,6 @@ def coarse_occupancy(packed: jnp.ndarray) -> jnp.ndarray:
     w, z, y = packed.shape
     if z % BLOCK or y % BLOCK:
         raise ValueError(f"grid extents must be multiples of {BLOCK}")
-    if w % BLOCK and w > BLOCK:
-        raise ValueError("word count must be ≤ 8 or a multiple of 8")
     zc, yc = z // BLOCK, y // BLOCK
 
     # OR together the 8×8 (z, y) cells of each block, per word.
@@ -53,12 +52,14 @@ def coarse_occupancy(packed: jnp.ndarray) -> jnp.ndarray:
         | ((g >> _U32(21)) & _U32(8))
     )
     # Assemble group words: within a group of 8 packed words, word k
-    # contributes its 4 block-bits at offset 4k.
-    xg = max(1, w // BLOCK)
+    # contributes its 4 block-bits at offset 4k.  The final group may be
+    # partial (w not a multiple of 8, e.g. grids 288-480): its unused
+    # high bits stay zero, which downstream probes read as empty space.
+    xg = max(1, -(-w // BLOCK))
     groups = []
     for gi in range(xg):
         word = jnp.zeros((zc, yc), dtype=_U32)
-        for wi in range(min(BLOCK, w)):
+        for wi in range(min(BLOCK, w - gi * BLOCK)):
             word = word | (nib[gi * BLOCK + wi] << _U32(4 * wi))
         groups.append(word)
     return jnp.concatenate(groups, axis=1)  # [Zc, XG·Yc]

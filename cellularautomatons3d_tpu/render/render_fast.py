@@ -76,6 +76,9 @@ P_EMIS = 27     # emissive color rgb
 P_EMISS = 30    # emissive strength
 P_TIME = 31     # elapsed time (jitter RNG seed)
 P_ROW0 = 32     # global row of this shard's first pixel row (mesh render)
+P_ALPHA = 33    # temporal EMA alpha (in-kernel composition)
+P_GAMMA = 34    # gamma (presentation = pow(light, 1/gamma))
+P_OVERLAY = 35  # 1.0 = left-half depth debug overlay
 P_LEN = 40
 
 _F32 = jnp.float32
@@ -113,6 +116,51 @@ def _normalize3(x, y, z):
     return x * inv, y * inv, z * inv
 
 
+def _to_blocks(x, width, height, fill=0):
+    """[H, W] → tile-blocked [tiles·SUB, LANE] (inverse of _from_blocks)."""
+    nbx = pl.cdiv(width, BW)
+    nby = pl.cdiv(height, BH)
+    x = jnp.pad(
+        x, ((0, nby * BH - height), (0, nbx * BW - width)),
+        constant_values=fill,
+    )
+    x = x.reshape(nby, BH, nbx, BW).transpose(0, 2, 1, 3)
+    return x.reshape(nby * nbx * SUB, LANE)
+
+
+def _from_blocks(x, width, height):
+    """Tile-blocked [tiles·SUB, LANE] → [H, W] (BW×BH screen blocks in
+    row-major block order)."""
+    nbx = pl.cdiv(width, BW)
+    nby = pl.cdiv(height, BH)
+    x = x.reshape(nby, nbx, BH, BW).transpose(0, 2, 1, 3)
+    return x.reshape(nby * BH, nbx * BW)[:height, :width]
+
+
+def _fetch_coarse_bit_impl(row_b, bxc, byc, valid, nbk, ncy):
+    """Occupancy of coarse block (bxc, byc) in a pre-broadcast row.
+
+    Rows hold XG x-block groups of 32 blocks each, group-major along
+    the lane axis (ops.occupancy.coarse_occupancy): lane index =
+    (bxc >> 5)·ncy + byc, bit = bxc & 31.  For n ≤ 256 (one group)
+    this degenerates to lane = byc, bit = bxc.
+    """
+    bxc = jnp.clip(bxc, 0, nbk - 1)
+    byc = jnp.clip(byc, 0, nbk - 1)
+    if nbk <= 32:
+        idx = byc
+    else:
+        idx = jax.lax.shift_right_logical(bxc, 5) * ncy + byc
+    g = _lane_gather(row_b, idx)
+    bit = jnp.bitwise_and(
+        jax.lax.shift_right_logical(
+            g, jnp.bitwise_and(bxc, 31).astype(_U32)
+        ),
+        _U32(1),
+    )
+    return (bit.astype(_I32) == 1) & valid
+
+
 def _store_ray(rayrefs, ox, oy, oz, dx, dy, dz, t0, t1, active):
     """Write a ray into the VMEM ray-state refs consumed by ``sweep``.
 
@@ -143,7 +191,8 @@ def _store_ray(rayrefs, ox, oy, oz, dx, dy, dz, t0, t1, active):
 def pack_cam(view_mat, width, height, light_pos, light_magnitude, cell_size,
              roughness, base_reflectivity, material_color,
              light_radius=0.0, emissive_color=(0.0, 0.0, 0.0),
-             emissive_strength=0.0, elapsed_time=0.0, row0=0.0):
+             emissive_strength=0.0, elapsed_time=0.0, row0=0.0,
+             temporal_alpha=0.1, gamma=2.0, show_overlay=0.0):
     """Host-side packing of the kernel's parameter vector.  ``width`` /
     ``height`` are the FULL window dims (mesh shards pass their local
     extent as the pallas grid but global dims + ``row0`` here)."""
@@ -164,6 +213,9 @@ def pack_cam(view_mat, width, height, light_pos, light_magnitude, cell_size,
     cam[P_EMISS] = emissive_strength
     cam[P_TIME] = elapsed_time
     cam[P_ROW0] = row0
+    cam[P_ALPHA] = temporal_alpha
+    cam[P_GAMMA] = gamma
+    cam[P_OVERLAY] = show_overlay
     return cam
 
 
@@ -182,7 +234,7 @@ def _make_traversal(n: int, z0: int = 0, zext: int | None = None,
     nbk = n // 8                  # blocks along x and y (coordinate space)
     ncy = n // 8                  # blocks along y per x-group row segment
     nc = zext // 8                # slab-local coarse column count
-    y_chunks = max(1, n // LANE)  # fine slab lane chunks (Y padded to 128k)
+    y_chunks = -(-n // LANE)      # fine slab lane chunks (Y padded to 128k)
     inv_n = 1.0 / n
     half = 0.5
 
@@ -215,31 +267,11 @@ def _make_traversal(n: int, z0: int = 0, zext: int | None = None,
         return bit.astype(_I32)
 
     def fetch_coarse_bit(row_b, bxc, byc, valid):
-        """Occupancy of coarse block (bxc, byc) in a pre-broadcast row.
-
-        Rows hold XG x-block groups of 32 blocks each, group-major along
-        the lane axis (ops.occupancy.coarse_occupancy): lane index =
-        (bxc >> 5)·ncy + byc, bit = bxc & 31.  For n ≤ 256 (one group)
-        this degenerates to lane = byc, bit = bxc.
-        """
-        bxc = jnp.clip(bxc, 0, nbk - 1)
-        byc = jnp.clip(byc, 0, nbk - 1)
-        if nbk <= 32:
-            idx = byc
-        else:
-            idx = jax.lax.shift_right_logical(bxc, 5) * ncy + byc
-        g = _lane_gather(row_b, idx)
-        bit = jnp.bitwise_and(
-            jax.lax.shift_right_logical(
-                g, jnp.bitwise_and(bxc, 31).astype(_U32)
-            ),
-            _U32(1),
-        )
-        return (bit.astype(_I32) == 1) & valid
+        return _fetch_coarse_bit_impl(row_b, bxc, byc, valid, nbk, ncy)
 
     def sweep(vol, coarse, coarse2, zrange, refs, rayrefs, cell_half,
               exclude, accept_far: bool, ages=None, age_ref=None,
-              scalar_origin=None):
+              scalar_origin=None, colmask=None):
         """Two-direction coarse→fine DDA, fully unrolled.
 
         The coarse-column loop is a *python* loop: every plane index — and
@@ -257,6 +289,13 @@ def _make_traversal(n: int, z0: int = 0, zext: int | None = None,
         (shadow start cell, wgsl:665) or None.  ``accept_far``: primary
         accept rule tN≤tF ∧ tF≥t_start (wgsl:722-724); else the shadow rule
         tN≥0 (wgsl:669).  Returns (found, t_hit, hx, hy, hz) values.
+
+        ``colmask``: optional VMEM ref of per-pixel i32 column masks from
+        the patch prepass (``_make_prepass``): bit c set ⇒ slab column c
+        may contain occupancy along this pixel's ray.  When given, the
+        column and supercolumn gates become bit tests — zero occupancy
+        gathers on this sweep.  The mask is a conservative superset
+        (patch-bundle dilation), so exactness is unchanged.
         """
         found_ref, t_ref, hx_ref, hy_ref, hz_ref = refs
         r_ox, r_oy, r_oz, r_dx, r_dy, r_dz, r_t0, r_t1, r_flags = rayrefs
@@ -370,6 +409,14 @@ def _make_traversal(n: int, z0: int = 0, zext: int | None = None,
             lo = jnp.maximum(jnp.minimum(ta, tb), t_start)
             hi = jnp.minimum(jnp.maximum(ta, tb), t_end)
             seg_ok = (lo < hi) & ~found & pass_active
+            if colmask is not None:
+                bit = (
+                    jax.lax.shift_right_logical(
+                        colmask[:].astype(_U32), _U32(c_plane)
+                    )
+                    & _U32(1)
+                ).astype(_I32) == 1
+                return (bit | steep_col) & seg_ok
             row_b = _bcast_row(coarse[c_plane : c_plane + 1, :])
             occ = steep_col & seg_ok
             for tprobe in (lo, 0.5 * (lo + hi), hi):
@@ -462,21 +509,40 @@ def _make_traversal(n: int, z0: int = 0, zext: int | None = None,
                         steep = ray[9]
                         pass_active = pass_dir_active(ray, direction)
                         found_g = found_ref[:] == 1
-                        # Supercolumn probe: z-OR'd, xy-dilated occupancy of
-                        # the 4-column span; exact thanks to the dilation +
-                        # steep-ray force-descend.
+                        # Supercolumn gate over the 4-column span: segment
+                        # overlap × occupancy.  With a prepass mask the
+                        # occupancy test is 4 bits of the mask; otherwise
+                        # probe the z-OR'd, xy-dilated coarse2 rows — exact
+                        # thanks to the dilation + steep-ray force-descend.
                         inv_dz = 1.0 / dz
                         ta = ((z0 + lo_c * 8) * inv_n - half - oz) * inv_dz
                         tb = ((z0 + hi_c * 8 + 8) * inv_n - half - oz) * inv_dz
                         lo_t = jnp.maximum(jnp.minimum(ta, tb), t_start)
                         hi_t = jnp.minimum(jnp.maximum(ta, tb), t_end)
                         seg2 = (lo_t < hi_t) & ~found_g & pass_active
-                        row2 = _bcast_row(coarse2[lo_c // 4 : lo_c // 4 + 1, :])
-                        occ2 = jnp.zeros_like(seg2)
-                        for tp in (lo_t, 0.5 * (lo_t + hi_t), hi_t):
-                            bxc = jnp.floor((ox + tp * dx + half) * nbk).astype(_I32)
-                            byc = jnp.floor((oy + tp * dy + half) * nbk).astype(_I32)
-                            occ2 = occ2 | fetch_coarse_bit(row2, bxc, byc, seg2)
+                        if colmask is not None:
+                            gbits = (
+                                jax.lax.shift_right_logical(
+                                    colmask[:].astype(_U32), _U32(lo_c)
+                                )
+                                & _U32(0xF)
+                            ).astype(_I32)
+                            occ2 = gbits != 0
+                        else:
+                            row2 = _bcast_row(
+                                coarse2[lo_c // 4 : lo_c // 4 + 1, :]
+                            )
+                            occ2 = jnp.zeros_like(seg2)
+                            for tp in (lo_t, 0.5 * (lo_t + hi_t), hi_t):
+                                bxc = jnp.floor(
+                                    (ox + tp * dx + half) * nbk
+                                ).astype(_I32)
+                                byc = jnp.floor(
+                                    (oy + tp * dy + half) * nbk
+                                ).astype(_I32)
+                                occ2 = occ2 | fetch_coarse_bit(
+                                    row2, bxc, byc, seg2
+                                )
                         descend = seg2 & (occ2 | steep)
 
                         @pl.when(_any(descend))
@@ -488,25 +554,177 @@ def _make_traversal(n: int, z0: int = 0, zext: int | None = None,
     return sweep, fetch_fine_bit
 
 
+PATCH = 8          # prepass patch edge (pixels)
+_PRE_DEV = 0.0075  # per-unit-t bound on patch-bundle ray deviation
+                   # (8×8-pixel patch at 75° FOV/1080p: half-diagonal
+                   # ≈ 5 px ≈ 0.006 rad; 0.0075 leaves slack)
+
+
+def _make_prepass(n: int, width: int, height: int):
+    """Patch prepass kernel: one conservative column-occupancy mask per
+    PATCH×PATCH pixel patch.
+
+    Probes the patch CENTER ray against doubly-x-/singly-y-dilated coarse
+    rows over an expanded volume box.  Covering argument: any cell a patch
+    ray touches at plane z lies within `_PRE_DEV·t` (≤ 1 block for
+    t ≤ ~4.3 at 256³) of the center ray's position at that z; the per-ray
+    3-probe/x±1 covering then bounds it within x±2/y±1 of a center-ray
+    probe — exactly the extra dilation.  Patches that are steep
+    (|dxy/dz| > 2 possible for any bundle ray), distant (deviation bound
+    > 7 cells) or degenerate get an all-ones mask (force fine descent),
+    so the mask is always a superset of per-ray coarse probing and the
+    sweep stays conservative-exact.
+
+    Output: i32 mask per patch, bit c = descend column c.  The whole
+    1080p patch grid (240×135 = 32 400 patches) fits one kernel tile.
+    """
+    nbk = n // 8
+    ncy = n // 8
+    nc = n // 8
+    inv_n = 1.0 / n
+    half = 0.5
+    m = 0.035  # expanded-box margin ≥ max bundle deviation at max t
+    pw_n = -(-width // PATCH)
+    ph_n = -(-height // PATCH)
+    npatch = pw_n * ph_n
+
+    def kernel(cam, coarse_pre, out_mask):
+        t = pl.program_id(0)
+        lane = jax.lax.broadcasted_iota(_I32, (SUB, LANE), 1)
+        sub = jax.lax.broadcasted_iota(_I32, (SUB, LANE), 0)
+        p = t * TILE + sub * LANE + lane
+        pvalid = p < npatch
+        pc = jnp.minimum(p, npatch - 1)
+        px = jnp.mod(pc, pw_n) * PATCH + PATCH // 2
+        py = (pc // pw_n) * PATCH + PATCH // 2
+        win_w = cam[P_WIN]
+        win_h = cam[P_WIN + 1]
+        ux = px.astype(_F32) / win_w
+        uy = 1.0 - (py.astype(_F32) + cam[P_ROW0]) / win_h
+        rx = (ux - 0.5) * (win_w / win_h)
+        ry = uy - 0.5
+        rx, ry, rz = _normalize3(
+            rx, ry, jnp.full_like(rx, -0.5 * COT_HALF_FOV)
+        )
+        dx = cam[P_R00 + 0] * rx + cam[P_R00 + 1] * ry + cam[P_R00 + 2] * rz
+        dy = cam[P_R00 + 3] * rx + cam[P_R00 + 4] * ry + cam[P_R00 + 5] * rz
+        dz = cam[P_R00 + 6] * rx + cam[P_R00 + 7] * ry + cam[P_R00 + 8] * rz
+        ox = jnp.full((SUB, LANE), cam[P_O + 0], _F32)
+        oy = jnp.full((SUB, LANE), cam[P_O + 1], _F32)
+        oz = jnp.full((SUB, LANE), cam[P_O + 2], _F32)
+
+        def slab(o, d):
+            inv = 1.0 / d
+            t1 = (-(half + m) - o) * inv
+            t2 = ((half + m) - o) * inv
+            return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
+
+        nx_, fx_ = slab(ox, dx)
+        ny_, fy_ = slab(oy, dy)
+        nz_, fz_ = slab(oz, dz)
+        tn = jnp.maximum(jnp.maximum(nx_, ny_), nz_)
+        tf = jnp.minimum(jnp.minimum(fx_, fy_), fz_)
+        active = (tn <= tf) & (tf >= 0.0) & pvalid
+        t0 = jnp.maximum(tn, 0.0)
+        t1 = tf
+        adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+        # Patch-steep: some bundle ray may exceed |dxy/dz| > 2 (3·0.01
+        # margin on the per-component deviation bound).
+        steep = (adx > 2.0 * adz - 0.03) | (ady > 2.0 * adz - 0.03)
+        far = t1 * (_PRE_DEV * n) > 7.0
+        force = (steep | far) & active
+
+        inv_dz = 1.0 / dz
+        mask = jnp.zeros((SUB, LANE), _I32)
+        for c in range(nc):
+            gz = c * 8
+            ta = (gz * inv_n - half - oz) * inv_dz
+            tb = ((gz + 8) * inv_n - half - oz) * inv_dz
+            lo = jnp.maximum(jnp.minimum(ta, tb), t0)
+            hi = jnp.minimum(jnp.maximum(ta, tb), t1)
+            seg = (lo < hi) & active
+            row_b = _bcast_row(coarse_pre[c : c + 1, :])
+            occ = jnp.zeros((SUB, LANE), jnp.bool_)
+            for tp in (lo, 0.5 * (lo + hi), hi):
+                bxc = jnp.floor((ox + tp * dx + half) * nbk).astype(_I32)
+                byc = jnp.floor((oy + tp * dy + half) * nbk).astype(_I32)
+                occ = occ | _fetch_coarse_bit_impl(
+                    row_b, bxc, byc, seg, nbk, ncy
+                )
+            mask = mask | (occ.astype(_I32) << c)
+        mask = jnp.where(force, jnp.full((SUB, LANE), -1, _I32), mask)
+        out_mask[:] = jnp.where(pvalid & active, mask, 0)
+
+    return kernel, npatch, pw_n, ph_n
+
+
+def _prepass_mask(vol_coarse, cam, n, width, height, interpret):
+    """Run the patch prepass and upsample its masks to a tile-blocked
+    per-pixel i32 image for the main kernel."""
+    from ..ops.occupancy import dilate_occupancy
+
+    coarse_pre = dilate_occupancy(vol_coarse, dilate_z=False, dilate_y=True)
+    coarse_pre = dilate_occupancy(coarse_pre, dilate_z=False, dilate_y=False)
+    if coarse_pre.shape[1] < LANE:
+        coarse_pre = jnp.pad(
+            coarse_pre, ((0, 0), (0, LANE - coarse_pre.shape[1]))
+        )
+    kernel, npatch, pw_n, ph_n = _make_prepass(n, width, height)
+    np_tiles = pl.cdiv(npatch, TILE)
+    mask_blk = pl.pallas_call(
+        kernel,
+        grid=(np_tiles,),
+        out_shape=jax.ShapeDtypeStruct((np_tiles * SUB, LANE), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((SUB, LANE), lambda t: (t, 0)),
+        interpret=interpret,
+    )(cam, coarse_pre)
+    mask_img = mask_blk.reshape(-1)[:npatch].reshape(ph_n, pw_n)
+    mask_pix = jnp.repeat(jnp.repeat(mask_img, PATCH, 0), PATCH, 1)[
+        :height, :width
+    ]
+    return _to_blocks(mask_pix, width, height)
+
+
 def _make_kernel(n: int, shadow: bool, width: int, height: int,
                  age_bits: int = 0, total_states: int = 2,
-                 debug_no_sweep: bool = False):
+                 debug_no_sweep: bool = False, compose: bool = False,
+                 use_colmask: bool = True):
     """Fused full-volume kernel: primary + hard shadow sweep, Cook-Torrance
-    shading, age fade.  Soft shadows / one-bounce GI / emissive live in the
+    shading, age fade.  Soft shadows / one-bounce GI live in the
     decomposed path (renderer_fast.trace_shaded + render_slab helpers): the
     in-kernel variants at 256³ unrolled past what Mosaic can compile in
-    reasonable time."""
+    reasonable time.
+
+    ``compose``: full in-kernel frame composition (emissive + temporal EMA
+    against blocked f32 history + light-source cube + depth overlay +
+    gamma) — the static-camera production path, replacing the XLA
+    composition whose HBM round trips cost ~4 ms/frame at 1080p.  Extra
+    inputs: prev color (3× f32) + prev hit-idx blocks; extra outputs: new
+    history color (3× f32).  out_r/g/b become the gamma-corrected
+    presentation (render_frame_fast semantics, wgsl:429-471,866-888)."""
     inv_n = 1.0 / n
     half = 0.5
     sweep, _ = _make_traversal(n, 0, n, age_bits)
 
     def kernel(cam, zrange, vol, coarse, coarse2, *rest):
         rest = list(rest)
+        colmask = rest.pop(0) if use_colmask else None
+        if compose:
+            prev_r, prev_g, prev_b, prev_idx = rest[:4]
+            rest = rest[4:]
         ages = rest.pop(0) if age_bits else None
-        (out_r, out_g, out_b, out_depth, out_idx,
-         f_a, t_a, hx_a, hy_a, hz_a, f_b, t_b, hx_b, hy_b, hz_b,
-         r_ox, r_oy, r_oz, r_dx, r_dy, r_dz, r_t0, r_t1, r_flags) = rest[:24]
-        rest = rest[24:]
+        nouts = 8 if compose else 5
+        outs = rest[:nouts]
+        rest = rest[nouts:]
+        out_r, out_g, out_b, out_depth, out_idx = outs[:5]
+        hist_out = outs[5:] if compose else None
+        (f_a, t_a, hx_a, hy_a, hz_a, f_b, t_b, hx_b, hy_b, hz_b,
+         r_ox, r_oy, r_oz, r_dx, r_dy, r_dz, r_t0, r_t1, r_flags) = rest[:19]
+        rest = rest[19:]
         age_ref = rest.pop(0) if age_bits else None
         rayrefs = (r_ox, r_oy, r_oz, r_dx, r_dy, r_dz, r_t0, r_t1, r_flags)
         t = pl.program_id(0)
@@ -682,6 +900,7 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
                 vol, coarse, coarse2, zrange, (f_a, t_a, hx_a, hy_a, hz_a),
                 rayrefs, cell_half, None, True, ages=ages, age_ref=age_ref,
                 scalar_origin=(cam[P_O], cam[P_O + 1], cam[P_O + 2]),
+                colmask=colmask,
             )
         out_depth[:] = jnp.where(found, t_hit, tf_miss)
         out_idx[:] = jnp.where(
@@ -703,7 +922,7 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
             occl = jnp.where(occluded, jnp.float32(0.0095), jnp.float32(1.0))
 
         # ---- direct lighting + composition --------------------------------
-        _, _, dxf, dyf, dzf, _ = pixel_rays()
+        uxf, _, dxf, dyf, dzf, _ = pixel_rays()
         oxf, oyf, ozf = cam_origin()
         found = f_a[:] == 1
         thf = t_ref_a()
@@ -728,12 +947,84 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
                 1.0,
             )
             occl = occl * fade
-        out_rv = out_rv * occl
-        out_gv = out_gv * occl
-        out_bv = out_bv * occl
-        out_r[:] = jnp.where(found, out_rv, 0.0)
-        out_g[:] = jnp.where(found, out_gv, 0.0)
-        out_b[:] = jnp.where(found, out_bv, 0.0)
+        rgb_r = jnp.where(found, out_rv * occl, 0.0)
+        rgb_g = jnp.where(found, out_gv * occl, 0.0)
+        rgb_b = jnp.where(found, out_bv * occl, 0.0)
+        if not compose:
+            out_r[:] = rgb_r
+            out_g[:] = rgb_g
+            out_b[:] = rgb_b
+            return
+
+        # ---- in-kernel frame composition (render_frame_fast semantics) ----
+        # Emissive cells add their own radiance, neither shadowed nor
+        # age-faded (renderer.py:263-264).
+        emis_s = cam[P_EMISS]
+        rgb_r = jnp.where(found, rgb_r + cam[P_EMIS] * emis_s, rgb_r)
+        rgb_g = jnp.where(found, rgb_g + cam[P_EMIS + 1] * emis_s, rgb_g)
+        rgb_b = jnp.where(found, rgb_b + cam[P_EMIS + 2] * emis_s, rgb_b)
+
+        # Temporal EMA against blocked history, cell-id validated
+        # (wgsl:429-471; static camera ⇒ same-pixel reprojection).
+        idx_val = jnp.where(
+            found, hxv + hyv * n + hzv * n * n,
+            jnp.full((SUB, LANE), -1, _I32),
+        )
+        same = (idx_val == prev_idx[:]) & found
+        alpha = cam[P_ALPHA]
+
+        def mix(p16, c):
+            p = p16.astype(_F32)
+            return jnp.where(
+                same, jnp.clip(p + (c - p) * alpha, 0.0, 1.0), c
+            )
+
+        lr = mix(prev_r[:], rgb_r)
+        lg = mix(prev_g[:], rgb_g)
+        lb = mix(prev_b[:], rgb_b)
+
+        # Light-source cube (wgsl:866-874): small white cube at the light,
+        # drawn only over black pixels.
+        lrad = jnp.float32(0.005)
+        inv_dxf, inv_dyf, inv_dzf = 1.0 / dxf, 1.0 / dyf, 1.0 / dzf
+        lt1x = (lpx - lrad - oxf) * inv_dxf
+        lt2x = (lpx + lrad - oxf) * inv_dxf
+        lt1y = (lpy - lrad - oyf) * inv_dyf
+        lt2y = (lpy + lrad - oyf) * inv_dyf
+        lt1z = (lpz - lrad - ozf) * inv_dzf
+        lt2z = (lpz + lrad - ozf) * inv_dzf
+        ltn = jnp.maximum(
+            jnp.maximum(jnp.minimum(lt1x, lt2x), jnp.minimum(lt1y, lt2y)),
+            jnp.minimum(lt1z, lt2z),
+        )
+        ltf = jnp.minimum(
+            jnp.minimum(jnp.maximum(lt1x, lt2x), jnp.maximum(lt1y, lt2y)),
+            jnp.maximum(lt1z, lt2z),
+        )
+        black = (lr == 0.0) & (lg == 0.0) & (lb == 0.0)
+        lc = (ltn <= ltf) & (ltf >= 0.0) & black
+        lr = jnp.where(lc, 1.0, lr)
+        lg = jnp.where(lc, 1.0, lg)
+        lb = jnp.where(lc, 1.0, lb)
+
+        # History snapshots the scene (incl. light cube), not the overlay.
+        # Carried as f32 inside the loop (Mosaic has no f16 type; the extra
+        # HBM traffic is ~0.1 ms at 1080p); quantized to the f16
+        # FastHistory only at loop exit (renderer_fast.make_fused_loop).
+        hist_out[0][:] = lr
+        hist_out[1][:] = lg
+        hist_out[2][:] = lb
+
+        # Presentation: gamma + left-half depth overlay (wgsl:880-888).
+        inv_g = 1.0 / cam[P_GAMMA]
+        pres_r = jnp.power(lr, inv_g)
+        pres_g = jnp.power(lg, inv_g)
+        pres_b = jnp.power(lb, inv_g)
+        ovm = (cam[P_OVERLAY] == 1.0) & (uxf < 0.5)
+        depth_val = out_depth[:]
+        out_r[:] = jnp.where(ovm, depth_val, pres_r)
+        out_g[:] = jnp.where(ovm, 0.0, pres_g)
+        out_b[:] = jnp.where(ovm, 0.0, pres_b)
 
     return kernel
 
@@ -742,7 +1033,7 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
     jax.jit,
     static_argnames=(
         "grid_size", "width", "height", "shadow", "interpret", "total_states",
-        "_column_dilate", "_debug_no_sweep",
+        "_column_dilate", "_debug_no_sweep", "use_prepass",
     ),
 )
 def raytrace_tiles(
@@ -750,6 +1041,7 @@ def raytrace_tiles(
     coarse,   # uint32 [Zc, Yc] occupancy (ops.occupancy.coarse_occupancy)
     cam,      # f32 [P_LEN] packed camera/material params
     ages=None,  # optional uint32 [B, W, Z, Y] age bit-planes (multi-state)
+    compose_history=None,  # (r, g, b f32, idx i32) tile-blocked history
     *,
     grid_size: int,
     width: int,
@@ -759,19 +1051,26 @@ def raytrace_tiles(
     total_states: int = 2,
     _column_dilate: bool = True,    # perf-attribution toggle; True = exact
     _debug_no_sweep: bool = False,  # perf-attribution toggle; skips traversal
+    use_prepass: bool = True,       # patch prepass column masks (exact either way)
 ):
-    """Trace all pixels: (light_rgb [H,W,3], depth [H,W], hit_idx [H,W])."""
+    """Trace all pixels: (light_rgb [H,W,3], depth [H,W], hit_idx [H,W]).
+
+    With ``compose_history`` (the static-camera production path), the
+    kernel instead composes the full frame on-chip and everything stays
+    tile-blocked: returns (pres_r, pres_g, pres_b f32, depth f32, idx
+    i32, hist_r, hist_g, hist_b f32), each [tiles·SUB, LANE] — convert
+    with ``_from_blocks`` when an image is needed."""
     if grid_size > 256:
         raise ValueError("fast path supports grid_size ≤ 256 (VMEM resident)")
     n = grid_size
-    y_pad = max(LANE, n)
+    y_pad = -(-n // LANE) * LANE
     # z-major 2D layout: slab loads become leading-dim dynamic slices.
     vol2d = jnp.pad(vol, ((0, 0), (0, 0), (0, y_pad - n))).transpose(1, 0, 2)
     vol2d = vol2d.reshape(n, (n // 32) * (y_pad // LANE), LANE)
     # The kernel probes per-column occupancy against x-dilated rows with
-    # 5 probe points — conservative-exact for |dxy/dz| ≤ 4 (see
-    # column_occ).  The undilated rows still feed coarse2 and the z-range
-    # gate below.
+    # 3 probe points — conservative-exact for |dxy/dz| ≤ 2; steeper rays
+    # carry a force-descend flag (see column_occ / _store_ray).  The
+    # undilated rows still feed coarse2 and the z-range gate below.
     from ..ops.occupancy import dilate_occupancy
 
     coarse_col = (
@@ -784,15 +1083,18 @@ def raytrace_tiles(
     age_bits = 0 if ages is None else int(ages.shape[0])
     if ages is not None:
         ages2d = jnp.pad(ages, ((0, 0), (0, 0), (0, 0), (0, y_pad - n)))
+        # (y_pad is already a multiple of LANE)
         ages2d = ages2d.transpose(0, 2, 1, 3).reshape(
             age_bits * n, (n // 32) * (y_pad // LANE), LANE
         )
     nbx = pl.cdiv(width, BW)
     nby = pl.cdiv(height, BH)
     tiles = nbx * nby
+    compose = compose_history is not None
     kernel = _make_kernel(
         grid_size, shadow, width, height, age_bits, total_states,
-        debug_no_sweep=_debug_no_sweep,
+        debug_no_sweep=_debug_no_sweep, compose=compose,
+        use_colmask=use_prepass,
     )
 
     out_shape = [
@@ -802,6 +1104,10 @@ def raytrace_tiles(
         jax.ShapeDtypeStruct((tiles * SUB, LANE), jnp.float32),
         jax.ShapeDtypeStruct((tiles * SUB, LANE), jnp.int32),
     ]
+    if compose:
+        out_shape += [
+            jax.ShapeDtypeStruct((tiles * SUB, LANE), jnp.float32)
+        ] * 3
     out_spec = pl.BlockSpec((SUB, LANE), lambda t: (t, 0))
     scratch = [
         pltpu.VMEM((SUB, LANE), jnp.int32),    # f_a
@@ -853,24 +1159,38 @@ def raytrace_tiles(
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
     inputs = [cam, zrange, vol2d, coarse_col, coarse2]
+    if use_prepass:
+        # Patch prepass: per-8×8-patch conservative column masks — removes
+        # every coarse-occupancy gather from the primary sweep.
+        if _debug_no_sweep:
+            mask_in = jnp.zeros((tiles * SUB, LANE), jnp.int32)
+        else:
+            mask_in = _prepass_mask(coarse, cam, n, width, height, interpret)
+        in_specs.append(pl.BlockSpec((SUB, LANE), lambda t: (t, 0)))
+        inputs.append(mask_in)
+    if compose:
+        in_specs += [pl.BlockSpec((SUB, LANE), lambda t: (t, 0))] * 4
+        inputs += list(compose_history)
     if age_bits:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         inputs.append(ages2d)
         scratch.append(pltpu.VMEM((SUB, LANE), jnp.int32))  # age_ref
-    r, g, b, depth, idx = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(tiles,),
         out_shape=out_shape,
         in_specs=in_specs,
-        out_specs=[out_spec] * 5,
+        out_specs=[out_spec] * len(out_shape),
         scratch_shapes=scratch,
         interpret=interpret,
     )(*inputs)
 
+    if compose:
+        return outs  # blocked (see docstring)
+    r, g, b, depth, idx = outs
+
     def unflat(x):
-        # tiles are BW×BH screen blocks in row-major block order
-        x = x.reshape(nby, nbx, BH, BW).transpose(0, 2, 1, 3)
-        return x.reshape(nby * BH, nbx * BW)[:height, :width]
+        return _from_blocks(x, width, height)
 
     rgb = jnp.stack([unflat(r), unflat(g), unflat(b)], axis=-1)
     return rgb, unflat(depth), unflat(idx)

@@ -186,7 +186,7 @@ def _make_shadow_kernel(n, z0, zext):
 
 def _vol2d_slab(vol, z0, zext, n):
     """Pack a z-slab into the kernel's [Z, C, 128] layout."""
-    y_pad = max(LANE, n)
+    y_pad = -(-n // LANE) * LANE
     v = vol[:, z0 : z0 + zext, :]
     v = jnp.pad(v, ((0, 0), (0, 0), (0, y_pad - n))).transpose(1, 0, 2)
     return v.reshape(zext, (n // 32) * (y_pad // LANE), LANE)
@@ -455,7 +455,7 @@ def indirect_bounce(vol, cam, q, origin, coords, found, prepped, *,
 
 
 def hit_geometry(cam, idx_img, t_img, *, grid_size, width, height):
-    """(q, origin, coords, found, d, crossed_tf) from a composited hit
+    """(q, origin, coords, found, tf_miss) from a composited hit
     image — the shared XLA geometry for shadows/GI/shading."""
     from .intersect import FULL_CUBE_SIZE, HALF_CUBE_SIZE
 
@@ -570,7 +570,7 @@ def raytrace_sliced(
         ] + list(ray_scratch)
         if age_bits:
             a = ages[:, :, z0 : z0 + zext, :]
-            y_pad = max(LANE, n)
+            y_pad = -(-n // LANE) * LANE
             a = jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, y_pad - n)))
             a = a.transpose(0, 2, 1, 3).reshape(
                 age_bits * zext, (n // 32) * (y_pad // LANE), LANE

@@ -44,6 +44,35 @@ class FastHistory(NamedTuple):
     hit_idx: jnp.ndarray  # [H, W] int32 cell id (-1 = miss)
 
 
+def _cam_vec(params: "RenderParams", w, fh, row0=None):
+    """Pack RenderParams into the kernel's parameter vector (the traced
+    counterpart of render_fast.pack_cam)."""
+    if row0 is None:
+        row0 = jnp.float32(0.0)
+    return jnp.concatenate(
+        [
+            params.view_mat[:3, :3].reshape(-1),
+            params.view_mat[:3, 3],
+            jnp.array([w, fh], jnp.float32),
+            params.light_pos,
+            params.light_magnitude[None],
+            params.cell_size[None],
+            params.roughness[None],
+            params.base_reflectivity,
+            params.material_color,
+            params.light_radius[None],
+            params.emissive_color,
+            params.emissive_strength[None],
+            params.elapsed_time[None],
+            jnp.asarray(row0, jnp.float32)[None],
+            params.temporal_alpha[None],
+            params.gamma[None],
+            params.show_depth_overlay[None],
+            jnp.zeros((4,), jnp.float32),
+        ]
+    )
+
+
 def init_fast_history(width: int, height: int) -> FastHistory:
     return FastHistory(
         color=jnp.zeros((height, width, 3), dtype=jnp.float16),
@@ -160,36 +189,19 @@ def render_frame_fast(
 
     ``row0``/``full_height``: set when this call renders a horizontal row
     shard of a larger window (mesh mode, engine._mesh_render) — pixel rows
-    are local but UVs and the camera frustum are global.  Sharded rendering
-    requires ``camera_static`` (reprojection would gather across shards).
+    are local but UVs and the camera frustum are global.  Under camera
+    motion, history is reprojected row-locally: pixels whose reprojected
+    uv leaves this shard's row range are rejected (fresh color), so
+    accumulation survives interactive motion without cross-shard gathers
+    (the reprojected window is small for interactive speeds).
     """
     h, w = s.height, s.width
     fh = full_height if full_height is not None else h
     if row0 is None:
         row0 = jnp.float32(0.0)
-    else:
-        assert camera_static, "sharded rendering requires a static camera"
     row0 = jnp.asarray(row0, jnp.float32)
 
-    cam = jnp.concatenate(
-        [
-            params.view_mat[:3, :3].reshape(-1),
-            params.view_mat[:3, 3],
-            jnp.array([w, fh], jnp.float32),
-            params.light_pos,
-            params.light_magnitude[None],
-            params.cell_size[None],
-            params.roughness[None],
-            params.base_reflectivity,
-            params.material_color,
-            params.light_radius[None],
-            params.emissive_color,
-            params.emissive_strength[None],
-            params.elapsed_time[None],
-            row0[None],
-            jnp.zeros((7,), jnp.float32),
-        ]
-    )
+    cam = _cam_vec(params, w, fh, row0)
     rgb, depth, idx = trace_shaded(
         s, packed, cam, ages, total_states,
         # The Pallas TPU kernel has no CPU lowering — interpret off-TPU.
@@ -225,7 +237,11 @@ def render_frame_fast(
             & (uv_r[..., 1] >= 0.0) & (uv_r[..., 1] <= 1.0)
         )
         px = jnp.clip((uv_r[..., 0] * w).astype(jnp.int32), 0, w - 1)
-        py = jnp.clip((uv_r[..., 1] * h).astype(jnp.int32), 0, h - 1)
+        # Reprojected rows are global-window; this shard holds rows
+        # [row0, row0 + h) — reject pixels reprojecting outside it.
+        py_g = (uv_r[..., 1] * fh).astype(jnp.int32) - row0.astype(jnp.int32)
+        in_bounds = in_bounds & (py_g >= 0) & (py_g < h)
+        py = jnp.clip(py_g, 0, h - 1)
         flat = py * w + px
         prev = jnp.take(
             history.color.reshape(-1, 3), flat.reshape(-1), axis=0
@@ -268,10 +284,16 @@ def make_fused_loop(s: RenderStatic, spec, frames: int, steps_per_frame: int = 1
     Returns ``run(state, params, history) -> (state, history, last_frame)``.
     Binary and multi-state automata supported; camera assumed static across
     the loop (interactive motion goes through Engine.render per frame).
+
+    When the config allows it (hard shadows, no GI, grid ≤ 256) the loop
+    composes frames entirely in-kernel and carries the temporal history in
+    the kernel's tile-blocked layout — zero XLA image traffic between
+    frames; only the final frame/history are converted to image layout.
     """
     from ..ops.ca_step import fires_plane
     from ..ops import bitplane
     from ..ops.ca_step import decay_update
+    from .render_fast import _from_blocks, _to_blocks, raytrace_tiles
 
     multistate = spec.total_states > 2
     nbits = spec.age_bits
@@ -293,23 +315,74 @@ def make_fused_loop(s: RenderStatic, spec, frames: int, steps_per_frame: int = 1
             vis = vis | st[i]
         return vis
 
+    use_compose = (
+        s.soft_shadow_samples <= 1
+        and not s.indirect_lighting
+        and s.grid_size <= 256
+    )
+
+    if not use_compose:
+        @functools.partial(jax.jit, donate_argnums=(0, 2))
+        def run(state, params: RenderParams, history: FastHistory):
+            h, w = s.height, s.width
+            zero_frame = jnp.zeros((h, w, 3), jnp.float32)
+
+            def body(i, carry):
+                st, hist, _ = carry
+                for _ in range(steps_per_frame):
+                    st = one_step(st)
+                frame, _, hist = render_frame_fast(
+                    s, visibility(st), params, hist, True,
+                    st if multistate else None, spec.total_states,
+                )
+                return st, hist, frame
+
+            return jax.lax.fori_loop(
+                0, frames, body, (state, history, zero_frame)
+            )
+
+        return run
+
     @functools.partial(jax.jit, donate_argnums=(0, 2))
     def run(state, params: RenderParams, history: FastHistory):
         h, w = s.height, s.width
-        zero_frame = jnp.zeros((h, w, 3), jnp.float32)
+        interp = jax.default_backend() == "cpu"
+        cam = _cam_vec(params, w, h)
+        # Blocked history rides the loop carry as f32 — Mosaic has no f16
+        # type; quantize back to the f16 FastHistory only at loop exit.
+        hcol = history.color.astype(jnp.float32)
+        hblk = (
+            _to_blocks(hcol[..., 0], w, h),
+            _to_blocks(hcol[..., 1], w, h),
+            _to_blocks(hcol[..., 2], w, h),
+            _to_blocks(history.hit_idx, w, h, fill=-1),
+        )
+        zero_pres = tuple(jnp.zeros_like(hblk[3], jnp.float32) for _ in range(3))
 
         def body(i, carry):
             st, hist, _ = carry
             for _ in range(steps_per_frame):
                 st = one_step(st)
-            frame, _, hist = render_frame_fast(
-                s, visibility(st), params, hist, True,
-                st if multistate else None, spec.total_states,
+            vis = visibility(st)
+            outs = raytrace_tiles(
+                vis, coarse_occupancy(vis), cam,
+                st if multistate else None, hist,
+                grid_size=s.grid_size, width=w, height=h,
+                interpret=interp, total_states=spec.total_states,
             )
-            return st, hist, frame
+            pres_r, pres_g, pres_b, depth_b, idx_b, nhr, nhg, nhb = outs
+            return st, (nhr, nhg, nhb, idx_b), (pres_r, pres_g, pres_b)
 
-        return jax.lax.fori_loop(
-            0, frames, body, (state, history, zero_frame)
+        state, hist, pres = jax.lax.fori_loop(
+            0, frames, body, (state, hblk, zero_pres)
         )
+        frame = jnp.stack([_from_blocks(p, w, h) for p in pres], axis=-1)
+        history = FastHistory(
+            color=jnp.stack(
+                [_from_blocks(hist[i], w, h) for i in range(3)], axis=-1
+            ).astype(jnp.float16),
+            hit_idx=_from_blocks(hist[3], w, h),
+        )
+        return state, history, frame
 
     return run

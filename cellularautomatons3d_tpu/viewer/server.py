@@ -177,6 +177,10 @@ class ViewerServer:
                     return
                 self.close_connection = True
                 stop = threading.Event()
+                # The reader thread writes PONG frames to the same wfile the
+                # push loop writes PNG/status frames to; a shared lock keeps
+                # the WebSocket framing from interleaving.
+                wlock = threading.Lock()
 
                 def reader():
                     try:
@@ -185,7 +189,10 @@ class ViewerServer:
                             if op is None or op == ws.OP_CLOSE:
                                 break
                             if op == ws.OP_PING:
-                                ws.send_frame(self.wfile, payload, ws.OP_PONG)
+                                with wlock:
+                                    ws.send_frame(
+                                        self.wfile, payload, ws.OP_PONG
+                                    )
                             elif op == ws.OP_TEXT:
                                 try:
                                     viewer.handle_input(json.loads(payload))
@@ -201,15 +208,13 @@ class ViewerServer:
                 try:
                     while not stop.is_set():
                         png = viewer.frame_png()
-                        ws.send_frame(self.wfile, png)
-                        eng = viewer.engine
-                        ws.send_text(
-                            self.wfile,
-                            {
-                                "restart_required": eng.restart_required,
-                                "simulation_step": eng.simulation_step,
-                            },
-                        )
+                        status = {
+                            "restart_required": viewer.engine.restart_required,
+                            "simulation_step": viewer.engine.simulation_step,
+                        }
+                        with wlock:
+                            ws.send_frame(self.wfile, png)
+                            ws.send_text(self.wfile, status)
                 except OSError:
                     pass
                 finally:

@@ -80,3 +80,38 @@ def test_mesh_devices_validation():
         Engine(grid_size=64, mesh_devices=7)  # 64 % 7 != 0
     with pytest.raises(ValueError):
         Engine(grid_size=64, height=100, mesh_devices=8)  # 100 % 8 != 0
+
+
+@needs_mesh
+def test_mesh_engine_panning_keeps_history_via_reprojection():
+    """Under camera motion, the mesh path must reproject history within
+    each row shard (round-2: it hard-coded camera_static=True, ghosting
+    old-viewpoint history; round-3: row-local reprojection).  Mirrors
+    test_renderer_fast.test_panning_camera_keeps_history_via_reprojection
+    at the Engine level: frames under motion must match the single-device
+    moving-camera render away from shard boundaries."""
+    em = Engine(mesh_devices=8, **COMMON)
+    e1 = Engine(**COMMON)
+    em.step(4)
+    e1.step(4)
+    # Converge history over a few static frames.
+    for _ in range(3):
+        em.render()
+        e1.render()
+    # Pan: small rotation — most pixels reproject within their shard.
+    em.camera.rotate((0.0, 1.0, 0.0), 0.04)
+    e1.camera.rotate((0.0, 1.0, 0.0), 0.04)
+    fm = np.asarray(em.render())
+    f1 = np.asarray(e1.render())
+    ok = np.isclose(fm, f1, rtol=3e-3, atol=3e-4).mean()
+    # Cross-shard reprojections are rejected in mesh mode (fresh color);
+    # everything else must agree with the reprojecting single-device path.
+    assert ok > 0.97, f"only {ok:.2%} of pixels match the moving render"
+    # And the single-device moving render itself differs from a fresh
+    # (history-free) one — i.e. the comparison above proves accumulation.
+    e2 = Engine(**COMMON)
+    e2.step(4)
+    e2.camera.rotate((0.0, 1.0, 0.0), 0.04)
+    f_fresh = np.asarray(e2.render())
+    hit = np.asarray(e1.history.hit_idx) >= 0
+    assert (~np.isclose(f1, f_fresh, rtol=1e-3, atol=1e-4)[hit]).mean() > 0.1

@@ -140,7 +140,7 @@ def test_fast_random_scene_matches_oracle_exactly(seed, density):
 @pytest.mark.parametrize("angle", [0.35, 1.1, 1.45])
 def test_fast_random_scene_rotated_exact(angle):
     """Oblique and near-side-on cameras exercise the steep-ray paths
-    (|dxy/dz| > 1 skips the supercolumn gate; > 4 forces fine descent)."""
+    (|dxy/dz| > 1 skips the supercolumn gate; > 2 forces fine descent)."""
     rng = np.random.default_rng(3)
     dense = (rng.random((N, N, N)) < 0.03).astype(np.uint8)
     view = mat4.rotate(mat4.initial_view_matrix(), (0, 1, 0), angle)

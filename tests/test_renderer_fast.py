@@ -121,3 +121,40 @@ def test_depth_overlay_not_in_history():
     hcol = np.asarray(hist.color, np.float32)
     hit_left = np.asarray(hist.hit_idx[:, : W_IMG // 2]) >= 0
     assert hcol[:, : W_IMG // 2][hit_left][:, 1:].max() > 0
+
+
+def test_fused_compose_loop_matches_frame_sequence():
+    """The in-kernel-composition loop (blocked history, EMA + light cube +
+    gamma inside the Pallas kernel) must match iterating render_frame_fast
+    through the XLA composition, frame for frame."""
+    from cellularautomatons3d_tpu.render.renderer_fast import make_fused_loop
+
+    spec = ca.AutomatonSpec.from_config(ca.EngineConfig(grid_size=N))
+    step = ca.make_step_fn(spec)
+    st = jnp.asarray(ca.pack_grid(ca.seed_center(N)))
+    for _ in range(8):
+        st = step(st)
+    params = make_params(mat4.initial_view_matrix())
+
+    frames = 3
+    run = make_fused_loop(STATIC, spec, frames)
+    st_out, hist_out, frame = run(
+        st + 0, params, init_fast_history(W_IMG, H_IMG)
+    )
+
+    st2 = st
+    hist = init_fast_history(W_IMG, H_IMG)
+    for _ in range(frames):
+        st2 = step(st2)
+        frame2, _, hist = render_frame_fast(STATIC, st2, params, hist, True)
+    np.testing.assert_array_equal(np.asarray(st_out), np.asarray(st2))
+    np.testing.assert_array_equal(
+        np.asarray(hist_out.hit_idx), np.asarray(hist.hit_idx)
+    )
+    np.testing.assert_allclose(
+        np.asarray(frame), np.asarray(frame2), rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(hist_out.color, np.float32),
+        np.asarray(hist.color, np.float32), rtol=2e-2, atol=2e-3,
+    )
