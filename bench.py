@@ -21,6 +21,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+# The sitecustomize imports jax before this script runs, so the cache
+# env var would be read too late — set the config directly.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+
 import cellularautomatons3d_tpu as ca
 from cellularautomatons3d_tpu.ops.loop import make_multi_step
 from cellularautomatons3d_tpu.render import renderer_fast as RFW

@@ -76,6 +76,7 @@ class Engine:
             shadow_samples=int(cfg.shadow_samples),
             indirect_lighting=bool(cfg.indirect_lighting),
             soft_shadow_samples=int(cfg.soft_shadow_samples),
+            indirect_bounces=int(cfg.indirect_bounces),
         )
         self.simulation_step = 0
         self._frame_duration = 0.0
@@ -353,6 +354,7 @@ class Engine:
             "depth_samples",
             "shadow_samples",
             "indirect_lighting",
+            "indirect_bounces",
             "soft_shadow_samples",
             "width",
             "height",
@@ -392,6 +394,7 @@ class Engine:
             shadow_samples=int(cfg.shadow_samples),
             indirect_lighting=bool(cfg.indirect_lighting),
             soft_shadow_samples=int(cfg.soft_shadow_samples),
+            indirect_bounces=int(cfg.indirect_bounces),
         )
         want_fast = cfg.pipeline == "fast"
         have_fast = isinstance(self.history, FastHistory)
@@ -424,7 +427,17 @@ class Engine:
     # ------------------------------------------------------------------ #
     # checkpoint / resume (new capability, SURVEY.md §5)
     # ------------------------------------------------------------------ #
-    def save(self, path: str):
+    def save(self, path: str, backend: str = "npz"):
+        """Checkpoint to ``path``.  ``backend="npz"`` (default) writes a
+        single compressed file via host readback; ``backend="orbax"``
+        writes an Orbax checkpoint *directory* — the multi-host-safe
+        format: sharded ``jax.Array`` leaves are written per-shard with
+        no host gather, which is the right tool for mesh engines on
+        real pods (npz would funnel the grid through host 0)."""
+        if backend == "orbax":
+            return self._save_orbax(path)
+        if backend != "npz":
+            raise ValueError(f"unknown checkpoint backend {backend!r}")
         if isinstance(self.history, FastHistory):
             hist = dict(
                 history_color=np.asarray(self.history.color),
@@ -448,8 +461,93 @@ class Engine:
             **hist,
         )
 
+    def _checkpoint_tree(self):
+        """Checkpoint pytree: device arrays stay device arrays (orbax
+        writes shards in place); strings ride as uint8 arrays."""
+        hist = self.history._asdict()
+        return {
+            "state": self.state,
+            "history": dict(hist),
+            "history_kind": np.frombuffer(
+                type(self.history).__name__.encode(), np.uint8
+            ).copy(),
+            "camera": {
+                "view_mat": np.asarray(self.camera.view_mat, np.float32),
+                "prev_view_mat": np.asarray(
+                    self.camera.prev_view_mat, np.float32
+                ),
+                "prev_proj_view": np.asarray(
+                    self.camera.prev_proj_view, np.float32
+                ),
+            },
+            "scalars": {
+                "simulation_step": np.int64(self.simulation_step),
+                "time_ms": np.float64(self._time_ms),
+                "frame_duration": np.float64(self._frame_duration),
+            },
+            "config": np.frombuffer(
+                json.dumps(dataclasses.asdict(self.config)).encode(),
+                np.uint8,
+            ).copy(),
+        }
+
+    def _save_orbax(self, path: str):
+        import os
+
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(os.path.abspath(path), self._checkpoint_tree())
+
+    @classmethod
+    def _load_orbax(cls, path: str) -> "Engine":
+        import os
+
+        import orbax.checkpoint as ocp
+
+        data = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+        cfg = EngineConfig(
+            **json.loads(bytes(np.asarray(data["config"], np.uint8)).decode())
+        )
+        eng = cls(cfg)
+        eng.state = jnp.asarray(data["state"])
+        if eng.mesh is not None:
+            from .parallel.sharded import shard_state
+
+            eng.state = shard_state(eng.state, eng.mesh)
+        sc = data["scalars"]
+        eng.simulation_step = int(sc["simulation_step"])
+        eng._time_ms = float(sc["time_ms"])
+        eng._frame_duration = float(sc["frame_duration"])
+        h = data["history"]
+        kind = bytes(np.asarray(data["history_kind"], np.uint8)).decode()
+        if kind == "FastHistory":
+            eng.history = FastHistory(
+                color=jnp.asarray(h["color"]).astype(jnp.float16),
+                hit_idx=jnp.asarray(h["hit_idx"]),
+            )
+        else:
+            eng.history = RenderHistory(
+                color=jnp.asarray(h["color"]), depth=jnp.asarray(h["depth"])
+            )
+        if eng.mesh is not None:
+            eng.history = eng._shard_history(eng.history)
+        cam = data["camera"]
+        eng.camera.view_mat = np.asarray(cam["view_mat"], np.float32)
+        eng.camera.prev_view_mat = np.asarray(
+            cam["prev_view_mat"], np.float32
+        )
+        eng.camera.prev_proj_view = np.asarray(
+            cam["prev_proj_view"], np.float32
+        )
+        return eng
+
     @classmethod
     def load(cls, path: str) -> "Engine":
+        import os
+
+        if os.path.isdir(path):  # orbax checkpoints are directories
+            return cls._load_orbax(path)
         data = np.load(path, allow_pickle=False)
         cfg = EngineConfig(**json.loads(str(data["config"])))
         eng = cls(cfg)

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["coarse_occupancy", "dilate_occupancy", "BLOCK"]
+__all__ = ["coarse_occupancy", "plane_occupancy", "dilate_occupancy", "BLOCK"]
 
 BLOCK = 8  # downsample factor per axis
 
@@ -34,35 +34,58 @@ def coarse_occupancy(packed: jnp.ndarray) -> jnp.ndarray:
         raise ValueError(f"grid extents must be multiples of {BLOCK}")
     zc, yc = z // BLOCK, y // BLOCK
 
-    # OR together the 8×8 (z, y) cells of each block, per word.
+    # OR together the 8×8 (z, y) cells of each block, per word, then
+    # compress each 8-word x-group to one bit per block (the final group
+    # may be partial — grids 288-480; its unused high bits stay zero,
+    # which downstream probes read as empty space).
     v = packed.reshape(w, zc, BLOCK, yc, BLOCK)
     v = jnp.bitwise_or.reduce(v, axis=4)
     v = jnp.bitwise_or.reduce(v, axis=2)  # [W, Zc, Yc] u32
+    return _compress_x_groups(v)
 
-    # Compress each 8-bit x-group to 1 bit: g has group-occupancy at bit 8k.
+
+def _compress_x_groups(v: jnp.ndarray) -> jnp.ndarray:
+    """[W, R, Yc] per-word block occupancy → [R, XG·Yc] bit-packed rows
+    (bit ``xb & 31`` of lane ``(xb >> 5)·Yc + yc``); shared by the 8³ and
+    plane-level mips."""
+    w, r, yc = v.shape
     g = v
     for s in (1, 2, 4):  # after 1+2+4, bit i = OR of bits i..i+7
         g = g | (g >> _U32(s))
     g = g & _U32(0x01010101)
-    # Nibble of 4 block-bits per word: bits 0,8,16,24 → 0,1,2,3.
     nib = (
         (g & _U32(1))
         | ((g >> _U32(7)) & _U32(2))
         | ((g >> _U32(14)) & _U32(4))
         | ((g >> _U32(21)) & _U32(8))
     )
-    # Assemble group words: within a group of 8 packed words, word k
-    # contributes its 4 block-bits at offset 4k.  The final group may be
-    # partial (w not a multiple of 8, e.g. grids 288-480): its unused
-    # high bits stay zero, which downstream probes read as empty space.
     xg = max(1, -(-w // BLOCK))
     groups = []
     for gi in range(xg):
-        word = jnp.zeros((zc, yc), dtype=_U32)
+        word = jnp.zeros((r, yc), dtype=_U32)
         for wi in range(min(BLOCK, w - gi * BLOCK)):
             word = word | (nib[gi * BLOCK + wi] << _U32(4 * wi))
         groups.append(word)
-    return jnp.concatenate(groups, axis=1)  # [Zc, XG·Yc]
+    return jnp.concatenate(groups, axis=1)  # [R, XG·Yc]
+
+
+def plane_occupancy(packed: jnp.ndarray) -> jnp.ndarray:
+    """Plane-level block mip: full z resolution, 8× in x/y.
+
+    Returns ``uint32[Z, XG·Yc]`` — bit ``xb & 31`` of
+    ``plane[z, (xb >> 5)·Yc + yc]`` = any live cell in the 1×8×8 block
+    (z, xb, yb).  The render kernel uses it as a per-descended-column
+    prefilter: fine probes run only on planes whose probed block is
+    occupied, which skips most of the 8 fine planes of a column that the
+    8³ mip flagged for a single surface crossing.
+    """
+    w, z, y = packed.shape
+    if y % BLOCK:
+        raise ValueError(f"grid extents must be multiples of {BLOCK}")
+    yc = y // BLOCK
+    v = packed.reshape(w, z, yc, BLOCK)
+    v = jnp.bitwise_or.reduce(v, axis=3)  # [W, Z, Yc] u32
+    return _compress_x_groups(v)
 
 
 def dilate_occupancy(

@@ -93,6 +93,24 @@ def _any(mask) -> jnp.ndarray:
     return jnp.max(mask.astype(_I32)) > 0
 
 
+def _or_fold_scalar(m) -> jnp.ndarray:
+    """Bitwise OR of every element of an i32 [SUB, LANE] array as a traced
+    scalar.  log2 strided sublane folds + lane rotations, then a max-reduce
+    of the now-uniform array — one cheap reduction instead of one `_any`
+    per tested bit (a full-tile reduction + branch costs ~hundreds of
+    cycles; the sweep used to pay ~100 of them per tile)."""
+    s = m.shape[0]
+    while s > 1:
+        h = s // 2
+        m = m[:h] | m[h:s]
+        s = h
+    sh = LANE // 2
+    while sh >= 1:
+        m = m | pltpu.roll(m, sh, 1)
+        sh //= 2
+    return jnp.max(m)
+
+
 def _all(mask) -> jnp.ndarray:
     return jnp.min(mask.astype(_I32)) > 0
 
@@ -219,18 +237,36 @@ def pack_cam(view_mat, width, height, light_pos, light_magnitude, cell_size,
     return cam
 
 
-def _make_traversal(n: int, z0: int = 0, zext: int | None = None,
-                    age_bits: int = 0):
+def _make_traversal(n: int, zext: int | None = None,
+                    age_bits: int = 0, x_words: int | None = None):
     """DDA traversal closures over a z-slab [z0, z0+zext) of an n³ volume.
 
     The fused single-kernel path uses the full volume (z0=0, zext=n); the
-    sliced path for n > 256 builds one traversal per slab and composites
+    sliced path for n > 256 runs one traversal per slab and composites
     in XLA (see render_slab.py).  Plane indices inside the closures are
-    slab-local (static unrolled); all geometry uses the global z = z0 + k.
+    slab-local (static unrolled); all geometry uses the global z = z0 + k,
+    where z0 is a RUNTIME scalar (``zrange[2]``) — so every slab of the
+    same extent shares one compiled kernel regardless of its z offset.
+
+    ``x_words``: words per x-chunk when the volume is additionally
+    decomposed along x (grids > 512, render_slab brick decomposition —
+    the fine-fetch where-chain scales as x_words·y_chunks slices per
+    probe, compile/runtime-prohibitive at full x for n = 1024).  The
+    brick's word offset rides in ``zrange[3]`` as a runtime scalar
+    (every brick of one shape shares a compile); probes outside the
+    chunk read empty — exact, because bricks partition the cells and
+    the caller composites by min-t (disjoint cells ⇒ global first hit).
+    Coarse rows are then per-chunk [R, ncy] slices of the globally
+    dilated rows: cross-chunk carries are already in the dilation, and
+    out-of-chunk probe points clamp to the chunk edge whose dilated
+    bits cover every in-chunk block within 1 of the probe — the 3-probe
+    covering argument survives unchanged (see column_occ).
     Returns (sweep, fetch_fine_bit).
     """
     zext = n if zext is None else zext
     w_words = n // 32
+    chunk_words = w_words if x_words is None else x_words
+    chunked = chunk_words < w_words
     nbk = n // 8                  # blocks along x and y (coordinate space)
     ncy = n // 8                  # blocks along y per x-group row segment
     nc = zext // 8                # slab-local coarse column count
@@ -238,19 +274,24 @@ def _make_traversal(n: int, z0: int = 0, zext: int | None = None,
     inv_n = 1.0 / n
     half = 0.5
 
-    def fetch_fine_bit(vol, k_plane: int, cx, cy, valid):
+    def fetch_fine_bit(vol, k_plane: int, cx, cy, valid, x0w=None):
         """Bit of cell (cx, cy, slab plane k_plane); vol VMEM ref [Z, C, 128]
         (z-major, chunk-major; k_plane is a *static* unrolled plane index so
-        every load is a static lane-aligned slice).
+        every load is a static lane-aligned slice).  ``x0w``: runtime word
+        offset of the brick's x-chunk (None = chunk 0 / unchunked); words
+        outside the chunk read 0 — empty space, exact under min-t
+        compositing.
 
         Unconditional where-chain over the packed words: plain vector ops
         beat scalar-gated branches on this hardware (a reduction + branch
         costs ~hundreds of cycles; a gather is ~tens).
         """
         wsel = jax.lax.shift_right_logical(cx, 5)
+        if x0w is not None:
+            wsel = wsel - x0w
         yl = jnp.bitwise_and(cy, LANE - 1)
         word = jnp.zeros((SUB, LANE), dtype=_U32)
-        for wi in range(w_words):
+        for wi in range(chunk_words):
             g = jnp.zeros((SUB, LANE), dtype=_U32)
             for c in range(y_chunks):
                 row = _bcast_row(vol[k_plane, wi * y_chunks + c : wi * y_chunks + c + 1, :])
@@ -266,12 +307,23 @@ def _make_traversal(n: int, z0: int = 0, zext: int | None = None,
         )
         return bit.astype(_I32)
 
-    def fetch_coarse_bit(row_b, bxc, byc, valid):
-        return _fetch_coarse_bit_impl(row_b, bxc, byc, valid, nbk, ncy)
+    def fetch_coarse_bit(row_b, bxc, byc, valid, x0b=None):
+        if x0b is None:
+            return _fetch_coarse_bit_impl(row_b, bxc, byc, valid, nbk, ncy)
+        # Chunked: per-brick single-group rows [R, ncy] (bit = local
+        # x-block, lane = y-block).  Out-of-chunk probe x-blocks clamp to
+        # the chunk edge (conservative-exact, see module docstring).
+        bxl = jnp.clip(bxc - x0b, 0, chunk_words * 4 - 1)
+        byl = jnp.clip(byc, 0, ncy - 1)
+        g = _lane_gather(row_b, byl)
+        bit = jnp.bitwise_and(
+            jax.lax.shift_right_logical(g, bxl.astype(_U32)), _U32(1)
+        )
+        return (bit.astype(_I32) == 1) & valid
 
     def sweep(vol, coarse, coarse2, zrange, refs, rayrefs, cell_half,
               exclude, accept_far: bool, ages=None, age_ref=None,
-              scalar_origin=None, colmask=None):
+              scalar_origin=None, colmask=None, mip1=None):
         """Two-direction coarse→fine DDA, fully unrolled.
 
         The coarse-column loop is a *python* loop: every plane index — and
@@ -294,11 +346,34 @@ def _make_traversal(n: int, z0: int = 0, zext: int | None = None,
         the patch prepass (``_make_prepass``): bit c set ⇒ slab column c
         may contain occupancy along this pixel's ray.  When given, the
         column and supercolumn gates become bit tests — zero occupancy
-        gathers on this sweep.  The mask is a conservative superset
+        gathers on this sweep — plus tile-level scalar skip gates from
+        the OR-folded mask.  The mask is a conservative superset
         (patch-bundle dilation), so exactness is unchanged.
+
+        ``mip1``: optional VMEM ref of the plane-level block mip
+        (ops.occupancy.plane_occupancy, x/y-dilated): full z resolution,
+        8×8 blocks in x/y.  Descended columns prefilter their 8 fine
+        planes against it — one midpoint block probe per plane, folded to
+        a tile-level 8-bit scalar — so the expensive fine fetches run
+        only on planes whose probed block is actually occupied
+        (conservative-exact by the same midpoint±1-block covering
+        argument; steep rays force every overlapped plane).
+
+        ``zrange`` is [zmin_col, zmax_col, z0]: occupied coarse-column
+        range (slab-local) plus the slab's global z offset, all runtime
+        scalars.  Chunked traversals (x_words < n/32) carry the brick's
+        x word offset in ``zrange[3]``.
         """
         found_ref, t_ref, hx_ref, hy_ref, hz_ref = refs
         r_ox, r_oy, r_oz, r_dx, r_dy, r_dz, r_t0, r_t1, r_flags = rayrefs
+        z0 = zrange[2]
+        z0f = z0.astype(_F32)
+        if chunked:
+            assert mip1 is None and colmask is None  # fused-path only
+            x0w = zrange[3]
+            x0b = x0w * 4
+        else:
+            x0w = x0b = None
 
         def load_ray():
             flags = r_flags[:]
@@ -325,9 +400,10 @@ def _make_traversal(n: int, z0: int = 0, zext: int | None = None,
             inv_dy = 1.0 / dy
             inv_dz = 1.0 / dz
             found = found_ref[:] == 1
-            gz = z0 + k_plane  # global z of this slab-local plane
-            ta = (gz * inv_n - half - oz) * inv_dz
-            tb = ((gz + 1) * inv_n - half - oz) * inv_dz
+            gz = z0 + k_plane        # global z of this slab-local plane (i32)
+            gzf = z0f + k_plane      # float form for geometry
+            ta = (gzf * inv_n - half - oz) * inv_dz
+            tb = ((gzf + 1.0) * inv_n - half - oz) * inv_dz
             lo = jnp.maximum(jnp.minimum(ta, tb), t_start)
             hi = jnp.minimum(jnp.maximum(ta, tb), t_end)
             seg_ok = (lo < hi) & ~found & pass_active
@@ -338,7 +414,7 @@ def _make_traversal(n: int, z0: int = 0, zext: int | None = None,
             cy = jnp.clip(
                 jnp.floor((oy + tm * dy + half) * n), 0, n - 1
             ).astype(_I32)
-            bit = fetch_fine_bit(vol, k_plane, cx, cy, seg_ok)
+            bit = fetch_fine_bit(vol, k_plane, cx, cy, seg_ok, x0w)
             cand = seg_ok & (bit == 1)
             if exclude is not None and len(exclude) == 3:
                 cand = cand & ~(
@@ -357,7 +433,7 @@ def _make_traversal(n: int, z0: int = 0, zext: int | None = None,
             # Visible-cube intersection + snap (wgsl:712-729).
             ccx = (cx.astype(_F32) + 0.5) * inv_n - half
             ccy = (cy.astype(_F32) + 0.5) * inv_n - half
-            ccz = (gz + 0.5) * inv_n - half
+            ccz = (gzf + 0.5) * inv_n - half
             t1x = (ccx - cell_half - ox) * inv_dx
             t2x = (ccx + cell_half - ox) * inv_dx
             t1y = (ccy - cell_half - oy) * inv_dy
@@ -380,50 +456,18 @@ def _make_traversal(n: int, z0: int = 0, zext: int | None = None,
             if ages is not None:
                 age = jnp.zeros((SUB, LANE), dtype=_I32)
                 for b_ in range(age_bits):
-                    abit = fetch_fine_bit(ages, b_ * zext + k_plane, cx, cy, hit)
+                    abit = fetch_fine_bit(
+                        ages, b_ * zext + k_plane, cx, cy, hit, x0w
+                    )
                     age = age | (abit << b_)
                 age_ref[:] = jnp.where(hit, age, age_ref[:])
             found_ref[:] = jnp.where(hit, 1, found_ref[:])
             t_ref[:] = jnp.where(hit, tn, t_ref[:])
             hx_ref[:] = jnp.where(hit, cx, hx_ref[:])
             hy_ref[:] = jnp.where(hit, cy, hy_ref[:])
-            hz_ref[:] = jnp.where(hit, jnp.full((SUB, LANE), gz, _I32), hz_ref[:])
-
-        def column_occ(c_plane: int, ray, pass_active, found):
-            """Coarse occupancy candidates for one column (pure vector).
-
-            Conservative-exact: ``coarse`` rows are x-dilated (one block)
-            and probed at 3 points.  For |dxy/dz| ≤ 2 the spacing between
-            adjacent probes is ≤ 1 block per xy coordinate, so any block
-            the segment touches between two probes shares its y-block with
-            one of them and sits within one x-block of it — covered by the
-            x dilation.  Rays steeper than that carry the ``steep_col``
-            flag and descend unconditionally.
-            """
-            ox, oy, oz, dx, dy, dz, t_start, t_end = ray[:8]
-            steep_col = ray[10]
-            inv_dz = 1.0 / dz
-            gz = z0 + c_plane * 8
-            ta = (gz * inv_n - half - oz) * inv_dz
-            tb = ((gz + 8) * inv_n - half - oz) * inv_dz
-            lo = jnp.maximum(jnp.minimum(ta, tb), t_start)
-            hi = jnp.minimum(jnp.maximum(ta, tb), t_end)
-            seg_ok = (lo < hi) & ~found & pass_active
-            if colmask is not None:
-                bit = (
-                    jax.lax.shift_right_logical(
-                        colmask[:].astype(_U32), _U32(c_plane)
-                    )
-                    & _U32(1)
-                ).astype(_I32) == 1
-                return (bit | steep_col) & seg_ok
-            row_b = _bcast_row(coarse[c_plane : c_plane + 1, :])
-            occ = steep_col & seg_ok
-            for tprobe in (lo, 0.5 * (lo + hi), hi):
-                bxc = jnp.floor((ox + tprobe * dx + half) * nbk).astype(_I32)
-                byc = jnp.floor((oy + tprobe * dy + half) * nbk).astype(_I32)
-                occ = occ | fetch_coarse_bit(row_b, bxc, byc, seg_ok)
-            return occ
+            hz_ref[:] = jnp.where(
+                hit, jnp.broadcast_to(gz, (SUB, LANE)), hz_ref[:]
+            )
 
         def pass_dir_active(ray, direction):
             dz, act = ray[5], ray[8]
@@ -454,26 +498,138 @@ def _make_traversal(n: int, z0: int = 0, zext: int | None = None,
             smin_c = start_gz.astype(_I32) // 8 - z0 // 8 - 1
             end_gz = jnp.floor((jnp.where(act, ozv, -big).max() + half) * n)
             smax_c = end_gz.astype(_I32) // 8 - z0 // 8 + 1
+            # (z0 is a multiple of 8, so traced floor-division is exact.)
+
+        def column_occ(c_plane: int, ray, pass_active, found):
+            """Coarse occupancy candidates for one column (pure vector).
+
+            Conservative-exact: ``coarse`` rows are x-dilated (one block)
+            and probed at 3 points.  For |dxy/dz| ≤ 2 the spacing between
+            adjacent probes is ≤ 1 block per xy coordinate, so any block
+            the segment touches between two probes shares its y-block with
+            one of them and sits within one x-block of it — covered by the
+            x dilation.  Rays steeper than that carry the ``steep_col``
+            flag and descend unconditionally.  With a prepass ``colmask``
+            the occupancy test is one per-lane bit test — zero gathers.
+            """
+            ox, oy, oz, dx, dy, dz, t_start, t_end = ray[:8]
+            steep_col = ray[10]
+            inv_dz = 1.0 / dz
+            gz = z0f + c_plane * 8
+            ta = (gz * inv_n - half - oz) * inv_dz
+            tb = ((gz + 8.0) * inv_n - half - oz) * inv_dz
+            lo = jnp.maximum(jnp.minimum(ta, tb), t_start)
+            hi = jnp.minimum(jnp.maximum(ta, tb), t_end)
+            seg_ok = (lo < hi) & ~found & pass_active
+            if colmask is not None:
+                bit = (
+                    jax.lax.shift_right_logical(
+                        colmask[:].astype(_U32), _U32(c_plane)
+                    )
+                    & _U32(1)
+                ).astype(_I32) == 1
+                return (bit | steep_col) & seg_ok
+            row_b = _bcast_row(coarse[c_plane : c_plane + 1, :])
+            occ = steep_col & seg_ok
+            for tprobe in (lo, 0.5 * (lo + hi), hi):
+                bxc = jnp.floor((ox + tprobe * dx + half) * nbk).astype(_I32)
+                byc = jnp.floor((oy + tprobe * dy + half) * nbk).astype(_I32)
+                occ = occ | fetch_coarse_bit(row_b, bxc, byc, seg_ok, x0b)
+            return occ
+
+        # Tile-level column bitmask (primary sweep only): one cheap OR-fold
+        # of the per-pixel prepass masks.  Purely additive scalar gates —
+        # groups/columns no lane's patch flagged are skipped without any
+        # full-tile reduction; flagged ones still go through the per-lane,
+        # hit-progress-aware `_any` gates below (which is what keeps fine
+        # descent from running after every lane has latched).
+        tile_mask = _or_fold_scalar(colmask[:]) if colmask is not None else None
 
         def group_body(cols, direction):
             ray = load_ray()
             pass_active = pass_dir_active(ray, direction)
             found_g = found_ref[:] == 1
-            occs = [column_occ(c, ray, pass_active, found_g) for c in cols]
-            group_occ = occs[0]
-            for o in occs[1:]:
-                group_occ = group_occ | o
+            # Per-column candidate masks, packed into one vector and
+            # OR-folded ONCE: a single reduction yields both the group
+            # gate and every column's scalar gate bit (vs one `_any` per
+            # column plus a group reduction — reductions cost ~hundreds
+            # of cycles each and dominated the sweep's fixed floor).
+            # Columns are gated on group-entry occupancy; lanes that
+            # latch mid-group are still masked out of every probe, so
+            # exactness is unchanged — only ≤3 stale prefilter probes
+            # can run in a group where all lanes latched early.
+            gmask_v = jnp.zeros((SUB, LANE), dtype=_I32)
+            for j, c in enumerate(cols):
+                occ = column_occ(c, ray, pass_active, found_g)
+                gmask_v = gmask_v | jnp.where(occ, _I32(1 << j), _I32(0))
+            gmask = _or_fold_scalar(gmask_v)
 
-            @pl.when(_any(group_occ))
-            def _(cols=cols, occs=occs, direction=direction):
-                for c_plane, occ in zip(cols, occs):
-                    @pl.when(_any(occ))
-                    def _(c_plane=c_plane, direction=direction):
+            @pl.when(gmask != 0)
+            def _(cols=cols, direction=direction):
+                for j, c_plane in enumerate(cols):
+                    def col_work(c_plane=c_plane, direction=direction):
                         ray = load_ray()
                         pass_active = pass_dir_active(ray, direction)
+                        if mip1 is None:
+                            for f in range(8):
+                                k = c_plane * 8 + (
+                                    f if direction > 0 else 7 - f
+                                )
+                                probe_fine(k, ray, pass_active)
+                            return
+                        # Plane-level prefilter: one midpoint block
+                        # probe per fine plane against the dilated
+                        # plane mip, folded to a tile scalar — fine
+                        # fetches run only on occupied planes.
+                        ox, oy, oz, dx, dy, dz, t_start, t_end = ray[:8]
+                        steep_col = ray[10]
+                        found_l = found_ref[:] == 1
+                        inv_dz = 1.0 / dz
+                        pmask = jnp.zeros((SUB, LANE), dtype=_I32)
                         for f in range(8):
-                            k = c_plane * 8 + (f if direction > 0 else 7 - f)
-                            probe_fine(k, ray, pass_active)
+                            k = c_plane * 8 + f
+                            gzf = z0f + k
+                            ta = (gzf * inv_n - half - oz) * inv_dz
+                            tb = (
+                                (gzf + 1.0) * inv_n - half - oz
+                            ) * inv_dz
+                            lo = jnp.maximum(
+                                jnp.minimum(ta, tb), t_start
+                            )
+                            hi = jnp.minimum(
+                                jnp.maximum(ta, tb), t_end
+                            )
+                            seg = (lo < hi) & ~found_l & pass_active
+                            tm = 0.5 * (lo + hi)
+                            bxc = jnp.floor(
+                                (ox + tm * dx + half) * nbk
+                            ).astype(_I32)
+                            byc = jnp.floor(
+                                (oy + tm * dy + half) * nbk
+                            ).astype(_I32)
+                            row_b = _bcast_row(mip1[k : k + 1, :])
+                            pb = fetch_coarse_bit(
+                                row_b, bxc, byc, seg, x0b
+                            ) | (steep_col & seg)
+                            pmask = pmask | (pb.astype(_I32) << f)
+                        tm8 = _or_fold_scalar(pmask)
+                        for f in range(8):
+                            fo = f if direction > 0 else 7 - f
+                            k = c_plane * 8 + fo
+
+                            @pl.when(((tm8 >> fo) & 1) != 0)
+                            def _(k=k, direction=direction):
+                                ray2 = load_ray()
+                                probe_fine(
+                                    k, ray2,
+                                    pass_dir_active(ray2, direction),
+                                )
+
+                    gate = ((gmask >> j) & 1) != 0
+                    if tile_mask is not None:
+                        # Skip columns no lane's patch flagged.
+                        gate = gate & (((tile_mask >> c_plane) & 1) != 0)
+                    pl.when(gate)(col_work)
 
         for direction in (1, -1):
             ray0 = load_ray()
@@ -490,11 +646,13 @@ def _make_traversal(n: int, z0: int = 0, zext: int | None = None,
                     ]
                     lo_c, hi_c = min(cols), max(cols)
 
-                    # Scalar gate: skip groups outside the global occupied
-                    # z-range — exact, free for empty space.  Secondary
-                    # sweeps additionally skip groups fully behind the
-                    # rays' start columns for this direction.
+                    # Scalar gates: global occupied z-range, the tile's
+                    # folded column-mask bits (primary), and (secondary
+                    # sweeps) columns fully behind the rays' start for
+                    # this direction.
                     gate = (zmax >= lo_c) & (zmin <= hi_c)
+                    if tile_mask is not None:
+                        gate = gate & (((tile_mask >> lo_c) & 0xF) != 0)
                     if smin_c is not None:
                         gate = gate & (
                             (hi_c >= smin_c)
@@ -515,8 +673,10 @@ def _make_traversal(n: int, z0: int = 0, zext: int | None = None,
                         # probe the z-OR'd, xy-dilated coarse2 rows — exact
                         # thanks to the dilation + steep-ray force-descend.
                         inv_dz = 1.0 / dz
-                        ta = ((z0 + lo_c * 8) * inv_n - half - oz) * inv_dz
-                        tb = ((z0 + hi_c * 8 + 8) * inv_n - half - oz) * inv_dz
+                        ta = ((z0f + lo_c * 8) * inv_n - half - oz) * inv_dz
+                        tb = (
+                            (z0f + hi_c * 8 + 8) * inv_n - half - oz
+                        ) * inv_dz
                         lo_t = jnp.maximum(jnp.minimum(ta, tb), t_start)
                         hi_t = jnp.minimum(jnp.maximum(ta, tb), t_end)
                         seg2 = (lo_t < hi_t) & ~found_g & pass_active
@@ -541,7 +701,7 @@ def _make_traversal(n: int, z0: int = 0, zext: int | None = None,
                                     (oy + tp * dy + half) * nbk
                                 ).astype(_I32)
                                 occ2 = occ2 | fetch_coarse_bit(
-                                    row2, bxc, byc, seg2
+                                    row2, bxc, byc, seg2, x0b
                                 )
                         descend = seg2 & (occ2 | steep)
 
@@ -708,9 +868,9 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
     presentation (render_frame_fast semantics, wgsl:429-471,866-888)."""
     inv_n = 1.0 / n
     half = 0.5
-    sweep, _ = _make_traversal(n, 0, n, age_bits)
+    sweep, _ = _make_traversal(n, n, age_bits)
 
-    def kernel(cam, zrange, vol, coarse, coarse2, *rest):
+    def kernel(cam, zrange, vol, coarse, coarse2, mip1, *rest):
         rest = list(rest)
         colmask = rest.pop(0) if use_colmask else None
         if compose:
@@ -723,7 +883,8 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
         out_r, out_g, out_b, out_depth, out_idx = outs[:5]
         hist_out = outs[5:] if compose else None
         (f_a, t_a, hx_a, hy_a, hz_a, f_b, t_b, hx_b, hy_b, hz_b,
-         r_ox, r_oy, r_oz, r_dx, r_dy, r_dz, r_t0, r_t1, r_flags) = rest[:19]
+         r_ox, r_oy, r_oz, r_dx, r_dy, r_dz, r_t0, r_t1,
+         r_flags) = rest[:19]
         rest = rest[19:]
         age_ref = rest.pop(0) if age_bits else None
         rayrefs = (r_ox, r_oy, r_oz, r_dx, r_dy, r_dz, r_t0, r_t1, r_flags)
@@ -900,7 +1061,7 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
                 vol, coarse, coarse2, zrange, (f_a, t_a, hx_a, hy_a, hz_a),
                 rayrefs, cell_half, None, True, ages=ages, age_ref=age_ref,
                 scalar_origin=(cam[P_O], cam[P_O + 1], cam[P_O + 2]),
-                colmask=colmask,
+                colmask=colmask, mip1=mip1,
             )
         out_depth[:] = jnp.where(found, t_hit, tf_miss)
         out_idx[:] = jnp.where(
@@ -917,7 +1078,7 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
             shadow_sweep(qx, qy, qz, lpx, lpy, lpz, found)
             occluded, _, _, _, _ = sweep(
                 vol, coarse, coarse2, zrange, (f_b, t_b, hx_b, hy_b, hz_b),
-                rayrefs, cell_half, (hx_a, hy_a, hz_a), False,
+                rayrefs, cell_half, (hx_a, hy_a, hz_a), False, mip1=mip1,
             )
             occl = jnp.where(occluded, jnp.float32(0.0095), jnp.float32(1.0))
 
@@ -1051,7 +1212,12 @@ def raytrace_tiles(
     total_states: int = 2,
     _column_dilate: bool = True,    # perf-attribution toggle; True = exact
     _debug_no_sweep: bool = False,  # perf-attribution toggle; skips traversal
-    use_prepass: bool = True,       # patch prepass column masks (exact either way)
+    use_prepass: bool = False,      # patch prepass column masks (exact either
+                                    # way; measured net LOSS at bench density —
+                                    # its bundle dilation must be one block
+                                    # looser than per-ray probes, which
+                                    # triggers ~2.6 ms of extra fine descent
+                                    # at 256³/1080p.  Kept for sparse scenes.
 ):
     """Trace all pixels: (light_rgb [H,W,3], depth [H,W], hit_idx [H,W]).
 
@@ -1080,6 +1246,15 @@ def raytrace_tiles(
     )
     if coarse_col.shape[1] < LANE:
         coarse_col = jnp.pad(coarse_col, ((0, 0), (0, LANE - coarse_col.shape[1])))
+    # Plane-level block mip for the per-column fine-plane prefilter
+    # (x/y-dilated so a midpoint probe per plane is conservative).
+    from ..ops.occupancy import plane_occupancy
+
+    mip1 = dilate_occupancy(
+        plane_occupancy(vol), dilate_z=False, yc=n // 8, dilate_y=True
+    )
+    if mip1.shape[1] < LANE:
+        mip1 = jnp.pad(mip1, ((0, 0), (0, LANE - mip1.shape[1])))
     age_bits = 0 if ages is None else int(ages.shape[0])
     if ages is not None:
         ages2d = jnp.pad(ages, ((0, 0), (0, 0), (0, 0), (0, y_pad - n)))
@@ -1149,7 +1324,8 @@ def raytrace_tiles(
     any_any = jnp.any(row_any)
     zmin = jnp.where(any_any, jnp.min(jnp.where(row_any, idxs, nc_)), nc_)
     zmax = jnp.where(any_any, jnp.max(jnp.where(row_any, idxs, -1)), -1)
-    zrange = jnp.stack([zmin, zmax]).astype(jnp.int32)
+    # [zmin, zmax, z0]: the fused path is always the full volume (z0 = 0).
+    zrange = jnp.stack([zmin, zmax, jnp.zeros_like(zmin)]).astype(jnp.int32)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1157,8 +1333,9 @@ def raytrace_tiles(
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
-    inputs = [cam, zrange, vol2d, coarse_col, coarse2]
+    inputs = [cam, zrange, vol2d, coarse_col, coarse2, mip1]
     if use_prepass:
         # Patch prepass: per-8×8-patch conservative column masks — removes
         # every coarse-occupancy gather from the primary sweep.

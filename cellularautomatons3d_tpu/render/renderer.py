@@ -61,6 +61,10 @@ class RenderStatic:
     # (call commented out, wgsl:424), shadows are hard (1 ray).
     indirect_lighting: bool = False
     soft_shadow_samples: int = 1
+    # Recursion depth of the indirect term: 1 = the reference's single
+    # bounce (wgsl:307-377); b > 1 feeds each neighbour's own indirect
+    # radiance into the next level (4^b neighbour evaluations).
+    indirect_bounces: int = 1
 
 
 class RenderParams(NamedTuple):
@@ -280,19 +284,10 @@ _INDIRECT_LAYERS = np.array(
 )
 
 
-def _indirect_lighting(packed_flat, sample_point, cell_origin, cell_coords,
-                       uv, rnd, p: RenderParams, s: RenderStatic, lit):
-    """One-bounce indirect lighting from the 4 face-adjacent neighbours
-    (calculateIndirectLighting, wgsl:307-377 — implemented and enabled,
-    where the reference leaves the call commented out at :424)."""
-    from .brdf import calculate_lighting_at
-
-    grid = s.grid_size
-    cell_size = jnp.float32(FULL_CUBE_SIZE / grid)
-    vis_half = cell_size * p.cell_size * 0.5
-    normal = cube_face_normal(sample_point, cell_origin)
-    # face index: axis = argmax |n|, sign from its component.
-    face = jnp.where(
+def _face_index(normal):
+    """Face id from an axis-aligned normal: order -x,+x,-y,+y,-z,+z
+    (matches the wgsl layer selection, wgsl:110-169)."""
+    return jnp.where(
         jnp.abs(normal[..., 0]) > 0.5,
         jnp.where(normal[..., 0] < 0, 0, 1),
         jnp.where(
@@ -301,53 +296,88 @@ def _indirect_lighting(packed_flat, sample_point, cell_origin, cell_coords,
             jnp.where(normal[..., 2] < 0, 4, 5),
         ),
     )
-    layers = jnp.asarray(_INDIRECT_LAYERS)  # [6, 4, 3]
-    camera_pos = p.view_mat[:3, 3]
-    total = jnp.zeros_like(sample_point)
-    for i in range(4):
-        off = jnp.take(layers[:, i, :], face, axis=0)  # [..., 3] int32
-        n_coords = cell_coords + off
-        n_state = get_cell_state(packed_flat, jnp.maximum(n_coords, 0), grid)
-        n_origin = (
-            n_coords.astype(jnp.float32) * cell_size
-            + cell_size * 0.5
-            - HALF_CUBE_SIZE
-        )
-        n_dir = off.astype(jnp.float32)  # unnormalized, as in the reference
-        t_near, t_far = ray_cube_intersect(sample_point, n_dir, n_origin, vis_half)
-        ok = lit & (n_state == 1) & (t_near <= t_far) & (t_far >= 0.0)
-        n_point = sample_point + n_dir * t_near[..., None]
 
-        l_dir = p.light_pos - n_point
-        l_dir = l_dir / jnp.linalg.norm(l_dir, axis=-1, keepdims=True)
-        _, exit_far = ray_cube_intersect(
-            n_point, l_dir, jnp.float32(0.0), jnp.float32(HALF_CUBE_SIZE)
-        )
-        n_exit = n_point + l_dir * exit_far[..., None]
-        occ = ray_march_shadow(
-            packed_flat, n_point, n_exit, jnp.maximum(n_coords, 0), rnd,
-            grid_size=grid, cell_size_mul=p.cell_size,
-            shadow_samples=s.shadow_samples, active=ok,
-        )
-        reflected = occ[..., None] * calculate_lighting_at(
-            n_point, n_origin, jnp.maximum(n_coords, 0), sample_point,
-            jnp.broadcast_to(p.light_magnitude, sample_point.shape),
-            p.light_pos,
-            grid_size=grid, roughness=p.roughness,
-            material_color=p.material_color,
-            base_reflectivity=p.base_reflectivity,
-        )
-        # Emissive neighbours also bounce their own radiance (extension).
-        reflected = reflected + p.emissive_color * p.emissive_strength
-        bounce = calculate_lighting_at(
-            sample_point, cell_origin, cell_coords, camera_pos,
-            reflected, n_point,
-            grid_size=grid, roughness=p.roughness,
-            material_color=p.material_color,
-            base_reflectivity=p.base_reflectivity,
-        )
-        total = total + jnp.where(ok[..., None], bounce, 0.0)
-    return total
+
+def _indirect_lighting(packed_flat, sample_point, cell_origin, cell_coords,
+                       uv, rnd, p: RenderParams, s: RenderStatic, lit):
+    """Indirect lighting from the 4 face-adjacent neighbours
+    (calculateIndirectLighting, wgsl:307-377 — implemented and enabled,
+    where the reference leaves the call commented out at :424).
+
+    ``s.indirect_bounces`` generalizes the reference's single bounce
+    recursively: at depth b, each neighbour's reflected radiance includes
+    its OWN indirect term evaluated at depth b-1, so light reaches the
+    shaded point via up to ``indirect_bounces`` surface interactions
+    (4^b neighbour evaluations — exact-path oracle; the fast path mirrors
+    this decomposition with batched occlusion kernels)."""
+    from .brdf import calculate_lighting_at
+
+    grid = s.grid_size
+    cell_size = jnp.float32(FULL_CUBE_SIZE / grid)
+    vis_half = cell_size * p.cell_size * 0.5
+    layers = jnp.asarray(_INDIRECT_LAYERS)  # [6, 4, 3]
+
+    def indirect_from(point, origin, coords, viewer, active, depth_left):
+        """Sum of bounce radiance reflected toward ``viewer`` at ``point``
+        from the 4 neighbours of the face containing ``point``."""
+        face = _face_index(cube_face_normal(point, origin))
+        total = jnp.zeros_like(point)
+        for i in range(4):
+            off = jnp.take(layers[:, i, :], face, axis=0)  # [..., 3] i32
+            n_coords = coords + off
+            n_cl = jnp.maximum(n_coords, 0)
+            n_state = get_cell_state(packed_flat, n_cl, grid)
+            n_origin = (
+                n_coords.astype(jnp.float32) * cell_size
+                + cell_size * 0.5
+                - HALF_CUBE_SIZE
+            )
+            n_dir = off.astype(jnp.float32)  # unnormalized, as in the reference
+            t_near, t_far = ray_cube_intersect(point, n_dir, n_origin, vis_half)
+            ok = active & (n_state == 1) & (t_near <= t_far) & (t_far >= 0.0)
+            n_point = point + n_dir * t_near[..., None]
+
+            l_dir = p.light_pos - n_point
+            l_dir = l_dir / jnp.linalg.norm(l_dir, axis=-1, keepdims=True)
+            _, exit_far = ray_cube_intersect(
+                n_point, l_dir, jnp.float32(0.0), jnp.float32(HALF_CUBE_SIZE)
+            )
+            n_exit = n_point + l_dir * exit_far[..., None]
+            occ = ray_march_shadow(
+                packed_flat, n_point, n_exit, n_cl, rnd,
+                grid_size=grid, cell_size_mul=p.cell_size,
+                shadow_samples=s.shadow_samples, active=ok,
+            )
+            reflected = occ[..., None] * calculate_lighting_at(
+                n_point, n_origin, n_cl, point,
+                jnp.broadcast_to(p.light_magnitude, point.shape),
+                p.light_pos,
+                grid_size=grid, roughness=p.roughness,
+                material_color=p.material_color,
+                base_reflectivity=p.base_reflectivity,
+            )
+            # Emissive neighbours also bounce their own radiance (extension).
+            reflected = reflected + p.emissive_color * p.emissive_strength
+            if depth_left > 1:
+                # Bounce N+1: the neighbour's incoming radiance gains its
+                # own indirect term, viewed from the shaded point.
+                reflected = reflected + indirect_from(
+                    n_point, n_origin, n_cl, point, ok, depth_left - 1
+                )
+            bounce = calculate_lighting_at(
+                point, origin, coords, viewer, reflected, n_point,
+                grid_size=grid, roughness=p.roughness,
+                material_color=p.material_color,
+                base_reflectivity=p.base_reflectivity,
+            )
+            total = total + jnp.where(ok[..., None], bounce, 0.0)
+        return total
+
+    camera_pos = p.view_mat[:3, 3]
+    return indirect_from(
+        sample_point, cell_origin, cell_coords, camera_pos, lit,
+        max(1, int(s.indirect_bounces)),
+    )
 
 
 def _mix_reprojected_color(

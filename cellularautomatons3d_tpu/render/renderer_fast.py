@@ -144,7 +144,7 @@ def trace_shaded(
                     indirect_bounce(
                         packed, cam, q, origin, coords, found, prepped,
                         grid_size=n, width=w, height=h,
-                        interpret=interpret,
+                        interpret=interpret, bounces=s.indirect_bounces,
                     ),
                     0.0,
                 )
@@ -162,6 +162,7 @@ def trace_shaded(
             total_states=total_states,
             soft_shadow_samples=s.soft_shadow_samples,
             indirect=s.indirect_lighting,
+            indirect_bounces=s.indirect_bounces,
         )
     # Emissive cells: surfaces add their own radiance, neither shadowed
     # nor age-faded (renderer.py:263-264).

@@ -93,6 +93,7 @@ class EngineConfig:
     render_variant: str = "clustered"
     # --- lighting extensions (BASELINE config 4; zero-defaults = reference) --
     indirect_lighting: bool = False      # one-bounce GI (wgsl:307-377, enabled)
+    indirect_bounces: int = 1            # GI recursion depth (4^b neighbours)
     soft_shadow_samples: int = 1         # >1 = area-light soft shadows
     light_radius: float = 0.0            # area-light radius for soft shadows
     emissive_color: Tuple[float, float, float] = (0.0, 0.0, 0.0)
@@ -119,11 +120,10 @@ class EngineConfig:
             raise ValueError(f"unknown render_variant {self.render_variant!r}")
         if self.render_variant == "simple":
             self.pipeline = "reference"  # only the exact path has it
-        if self.pipeline == "fast" and self.grid_size > 512:
-            # ≤ 256 uses the fused VMEM-resident kernel; 257-512 the z-slab
-            # sliced path (render_slab.py); beyond that only the exact
-            # pipeline renders (coarse-row lane budget, ops/occupancy.py).
-            self.pipeline = "reference"
+        # Fast pipeline covers the full reference grid range (≤ 1024,
+        # main_pathtraced.js:274-277): ≤ 256 the fused VMEM-resident
+        # kernel; 257-512 the z-slab sliced path; 513-1024 the
+        # (z-slab × x-chunk) brick path (render_slab.py).
         if isinstance(self.light, dict):
             self.light = LightConfig(**self.light)
         if self.mesh_devices:

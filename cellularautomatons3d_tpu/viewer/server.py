@@ -59,7 +59,8 @@ FIELDS = [
      {"options": ["clustered", "simple"]}),
     # Lighting extensions (BASELINE config 4).
     ("light.position", "light position", "vec3", {}),
-    ("indirect_lighting", "indirect lighting (1-bounce GI)", "bool", {}),
+    ("indirect_lighting", "indirect lighting (GI)", "bool", {}),
+    ("indirect_bounces", "indirect bounces", "int", {"min": 1, "max": 3}),
     ("soft_shadow_samples", "soft shadow samples", "int", {"min": 1, "max": 64}),
     ("light_radius", "light radius (soft shadows)", "float", {"min": 0.0, "max": 1.0}),
     ("emissive_color", "emissive color", "color", {}),

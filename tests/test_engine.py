@@ -243,3 +243,32 @@ def test_lighting_extensions_indirect_soft_emissive():
     assert emis.sum() > plain.sum()
     # Soft shadows remain a valid image and differ from hard shadows.
     assert np.isfinite(soft).all() and np.abs(soft - plain).max() > 1e-4
+
+
+def test_checkpoint_roundtrip_orbax(tmp_path):
+    """Orbax checkpoint backend (multi-host-safe directory format): the
+    round trip must restore exactly what the npz backend does."""
+    eng = small_engine()
+    eng.step(4)
+    eng.render()
+    eng.camera.translate((0, 0, -1), 0.25)
+    p = str(tmp_path / "ckpt_orbax")
+    eng.save(p, backend="orbax")
+    eng2 = ca.Engine.load(p)  # directory → orbax auto-detected
+    assert eng2.simulation_step == 4
+    np.testing.assert_array_equal(eng2.state_dense(), eng.state_dense())
+    np.testing.assert_array_equal(
+        np.asarray(eng2.history.color), np.asarray(eng.history.color)
+    )
+    np.testing.assert_array_equal(eng2.camera.view_mat, eng.camera.view_mat)
+    eng.step(2)
+    eng2.step(2)
+    np.testing.assert_array_equal(eng2.state_dense(), eng.state_dense())
+
+
+def test_checkpoint_orbax_unknown_backend():
+    eng = small_engine()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        eng.save("/tmp/x.npz", backend="hdf5")

@@ -347,6 +347,105 @@ def test_fast_indirect_matches_exact_renderer():
     assert checked > 0
 
 
+def test_fast_two_bounce_matches_exact_renderer():
+    """Multi-bounce GI parity (BASELINE config 4 "multi-bounce"): with
+    bounces=2 the decomposed occlusion/neighbour-mask path must equal the
+    exact pipeline's recursive _indirect_lighting at the hit point, and
+    must differ from one bounce (the target→neighbour→target path adds
+    radiance).
+
+    Runs the decomposition directly (primary trace + hit_geometry +
+    indirect_bounce) on a 32³ grid and 64×32 window: the full-frame
+    two-bounce jit in interpret mode inlines ~21 unrolled kernels whose
+    HLO chain depth crashes the CPU XLA compiler (stack overflow in a
+    recursive pass) — a CPU-test-harness limit, not a TPU one (on TPU
+    each kernel is a separate Mosaic compile)."""
+    from cellularautomatons3d_tpu.render import brdf
+    from cellularautomatons3d_tpu.render import renderer as R
+    from cellularautomatons3d_tpu.render.renderer import _indirect_lighting
+    from cellularautomatons3d_tpu.render.intersect import cell_from_sample_point
+    from cellularautomatons3d_tpu.render.render_slab import (
+        hit_geometry,
+        indirect_bounce,
+        prep_slabs,
+    )
+
+    n = 32
+    w_img, h_img = 64, 32
+    dense = np.zeros((n, n, n), np.uint8)
+    dense[20, 15, 15] = 1   # target; camera sees its +z face
+    dense[21, 15, 16] = 1   # bounce-1 neighbour; its -x slots include the target
+    view = mat4.initial_view_matrix()
+    vol = jnp.asarray(ca.pack_grid(dense))
+    cam = jnp.asarray(pack_cam(
+        view, width=w_img, height=h_img,
+        light_pos=(0.721, 1.0, 1.0), light_magnitude=5.0,
+        cell_size=0.85, roughness=0.29,
+        base_reflectivity=(0.17, 0.17, 0.17), material_color=(0.0, 0.0, 0.0),
+    ))
+    _, depth, idx = raytrace_tiles(
+        vol, coarse_occupancy(vol), cam, grid_size=n, width=w_img,
+        height=h_img, shadow=False, interpret=True,
+    )
+    q, origin, coords, found, _ = hit_geometry(
+        cam, idx, depth, grid_size=n, width=w_img, height=h_img
+    )
+    prepped = prep_slabs(vol, [(0, n)], n)
+    kw = dict(grid_size=n, width=w_img, height=h_img, interpret=True)
+    gi1 = np.asarray(indirect_bounce(
+        vol, cam, q, origin, coords, found, prepped, bounces=1, **kw))
+    gi2 = np.asarray(indirect_bounce(
+        vol, cam, q, origin, coords, found, prepped, bounces=2, **kw))
+    depth, idx = np.asarray(depth), np.asarray(idx)
+    target = 15 + 15 * n + 20 * n * n
+    ys, xs = np.nonzero(idx == target)
+    assert len(ys) > 0
+    # The second bounce adds radiance on the target's visible face.
+    assert np.abs(gi2[ys, xs] - gi1[ys, xs]).max() > 1e-6
+
+    packed_flat = vol.reshape(-1)
+    params = R.RenderParams(
+        view_mat=jnp.asarray(view),
+        prev_view_mat=jnp.asarray(view),
+        prev_proj_view=jnp.eye(4, dtype=jnp.float32),
+        elapsed_time=jnp.float32(0.0),
+        cell_size=jnp.float32(0.85),
+        temporal_alpha=jnp.float32(0.1),
+        gamma=jnp.float32(2.0),
+        roughness=jnp.float32(0.29),
+        base_reflectivity=jnp.full((3,), 0.17, jnp.float32),
+        material_color=jnp.zeros((3,), jnp.float32),
+        light_pos=jnp.asarray([0.721, 1.0, 1.0], jnp.float32),
+        light_magnitude=jnp.float32(5.0),
+        show_depth_overlay=jnp.float32(0.0),
+    )
+    s = R.RenderStatic(
+        width=w_img, height=h_img, grid_size=n,
+        depth_samples=8, shadow_samples=8, indirect_lighting=True,
+        indirect_bounces=2,
+    )
+    cam_pos = view[:3, 3]
+    checked = 0
+    for py, px in list(zip(ys, xs))[:3]:
+        ux = (px + 0.5) / w_img
+        uy = 1.0 - (py + 0.5) / h_img
+        r = np.array([(ux - 0.5) * (w_img / h_img), uy - 0.5, -0.5 * COT_HALF_FOV])
+        r /= np.linalg.norm(r)
+        d = view[:3, :3] @ r
+        p = jnp.asarray(cam_pos + d * depth[py, px], jnp.float32)
+        coords_1, origin_1, _ = cell_from_sample_point(p, n)
+        uv = jnp.asarray([ux, uy], jnp.float32)
+        gi = _indirect_lighting(
+            packed_flat, p, origin_1, coords_1, uv, jnp.float32(0.0),
+            params, s, jnp.asarray(True),
+        )
+        np.testing.assert_allclose(
+            gi2[py, px], np.asarray(gi), rtol=5e-3, atol=5e-4
+        )
+        checked += 1
+    assert checked > 0
+
+
 def test_fast_empty_grid_black():
     dense = np.zeros((N, N, N), np.uint8)
     rgb, depth, idx = trace(dense)
