@@ -135,3 +135,55 @@ def test_config5_sharded_step_plus_render(mesh):
     for _ in range(10):
         ref = step_packed(ref, spec)
     np.testing.assert_array_equal(np.asarray(state), np.asarray(ref))
+
+
+# ------------------------------------------------------- 2-D (z, y) mesh --
+#
+# Pod-scale decomposition: the grid shards along Z and Y; the step
+# exchanges z word-planes, then y word-columns of the z-padded slab
+# (corner ribbons ride the second exchange).  Differential-equal to the
+# single-device step for every boundary mode.
+
+
+@pytest.mark.parametrize("shape", [(4, 2), (2, 4)])
+@pytest.mark.parametrize("boundary", BoundaryMode.ALL)
+def test_sharded_2d_step_matches_single_device(shape, boundary):
+    spec = AutomatonSpec.from_rule_strings(
+        grid_size=N, neighbourhood="moore", born="4,5", survive="2-6",
+        boundary=boundary,
+    )
+    packed = random_packed(seed=(hash(boundary) + shape[0]) % 2**31)
+    want = np.asarray(step_packed(jnp.asarray(packed), spec))
+
+    mesh2 = make_mesh(shape=shape)
+    step = make_sharded_step(spec, mesh2)
+    got = np.asarray(step(shard_state(jnp.asarray(packed), mesh2)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_2d_multistate_generations():
+    spec = AutomatonSpec.from_rule_strings(
+        grid_size=N, neighbourhood="moore", born="4", survive="4",
+        total_states=5,
+    )
+    rng = np.random.default_rng(7)
+    dense = rng.integers(0, 5, size=(N, N, N)).astype(np.uint8)
+    planes = jnp.asarray(
+        np.stack([pack_grid((dense >> i) & 1) for i in range(spec.age_bits)])
+    )
+    mesh2 = make_mesh(shape=(2, 2))
+    step = make_sharded_step(spec, mesh2)
+    got = shard_state(planes, mesh2)
+    ref = planes
+    for _ in range(4):
+        ref = step_packed_multistate(ref, spec)
+        got = step(got)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_sharded_2d_validation():
+    spec = AutomatonSpec.from_rule_strings(grid_size=N)
+    with pytest.raises(ValueError):
+        make_sharded_step(spec, make_mesh(shape=(1, 3)))  # 32 % 3 != 0
+    with pytest.raises(ValueError):
+        make_mesh(shape=(16, 16))  # more devices than exist
