@@ -20,9 +20,6 @@ from cellularautomatons3d_tpu.ops.occupancy import (
     dilate_occupancy,
 )
 from cellularautomatons3d_tpu.ops.packing import pack_grid
-from cellularautomatons3d_tpu.render.render_fast import COT_HALF_FOV, pack_cam
-from cellularautomatons3d_tpu.render.render_slab import raytrace_sliced
-from cellularautomatons3d_tpu.utils import mat4
 
 
 def dense_occupancy(dense):
@@ -97,99 +94,9 @@ def test_dilate_occupancy_cross_group_carries(n):
         assert not (~got & want).any()
 
 
-# ------------------------------------------------------------- render 320 --
-
-N320 = 320
-W_IMG, H_IMG = 64, 32
-
-
-def oracle_dda(dense, view, n, w, h, cell_mul=0.85):
-    """Per-pixel numpy DDA following the kernel spec (primary rays)."""
-    rot = view[:3, :3]
-    o = view[:3, 3].astype(np.float64)
-    depth = np.zeros((h, w), np.float32)
-    idx = np.full((h, w), -1, np.int64)
-    half = 0.5
-    cell_half = cell_mul / n * 0.5
-    for py in range(h):
-        for px in range(w):
-            ux = (px + 0.5) / w
-            uy = 1.0 - (py + 0.5) / h
-            r = np.array([(ux - 0.5) * (w / h), uy - 0.5, -0.5 * COT_HALF_FOV])
-            r /= np.linalg.norm(r)
-            d = rot @ r
-            with np.errstate(divide="ignore", invalid="ignore"):
-                t1 = (-half - o) / d
-                t2 = (half - o) / d
-            tn = np.minimum(t1, t2).max()
-            tf = np.maximum(t1, t2).min()
-            if not (tn <= tf and tf >= 0):
-                continue
-            t_start = max(tn, 0.0)
-            ks = range(n) if d[2] > 0 else range(n - 1, -1, -1)
-            hit = False
-            for k in ks:
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    ta = (k / n - half - o[2]) / d[2]
-                    tb = ((k + 1) / n - half - o[2]) / d[2]
-                lo = max(min(ta, tb), t_start)
-                hi = min(max(ta, tb), tf)
-                if not lo < hi:
-                    continue
-                tm = 0.5 * (lo + hi)
-                cx = int(np.clip(np.floor((o[0] + tm * d[0] + half) * n), 0, n - 1))
-                cy = int(np.clip(np.floor((o[1] + tm * d[1] + half) * n), 0, n - 1))
-                if not dense[k, cy, cx]:
-                    continue
-                cc = (np.array([cx, cy, k]) + 0.5) / n - half
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    a = (cc - cell_half - o) / d
-                    b = (cc + cell_half - o) / d
-                tnn = np.minimum(a, b).max()
-                tff = np.maximum(a, b).min()
-                if tnn <= tff and tff >= t_start:
-                    depth[py, px] = tnn
-                    idx[py, px] = cx + cy * n + k * n * n
-                    hit = True
-                    break
-            if not hit:
-                depth[py, px] = tf
-    return depth, idx
-
-
-def test_sliced_320_matches_oracle():
-    """End-to-end N=320 sliced render (interpret): exercises the partial
-    second x-group, fetch_coarse_bit's nbk > 32 lane layout, y_chunks = 3
-    (ceil(320/128)) and multi-slab compositing — the exact code paths 512³
-    uses, at the smallest grid that needs them."""
-    rng = np.random.default_rng(17)
-    dense = np.zeros((N320, N320, N320), np.uint8)
-    # A handful of cells spread over x-groups (incl. the partial group and
-    # y beyond 256 → third y-chunk) plus a visible center block.
-    dense[150:170, 150:170, 150:170] = 1
-    dense[160, 160, 290] = 1
-    dense[160, 290, 160] = 1
-    pts = (rng.random((40, 3)) * N320).astype(int)
-    for z, y, x in pts:
-        dense[z, y, x] = 1
-    vol = jnp.asarray(pack_grid(dense))
-    cam = jnp.asarray(
-        pack_cam(
-            mat4.initial_view_matrix(), W_IMG, H_IMG,
-            (0.721, 1.0, 1.0), 5.0, 0.85, 0.29, (0.17,) * 3, (0.0,) * 3,
-        )
-    )
-    rgb, depth, idx = raytrace_sliced(
-        vol, cam, grid_size=N320, width=W_IMG, height=H_IMG,
-        shadow=False, interpret=True, slab_planes=160,
-    )
-    # int64 oracle ids: 320³ < 2³¹ so int32 kernel ids are safe
-    o_depth, o_idx = oracle_dda(
-        dense, mat4.initial_view_matrix(), N320, W_IMG, H_IMG
-    )
-    np.testing.assert_array_equal(np.asarray(idx).astype(np.int64), o_idx)
-    np.testing.assert_allclose(np.asarray(depth), o_depth, atol=2e-5)
-    assert (np.asarray(idx) >= 0).sum() > 0
+# The end-to-end N=320 sliced-render oracle lives in
+# tests/test_render_slab.py::test_sliced_multigroup_320_matches_oracle
+# (with the interpret-mode compile-depth workaround).
 
 
 def test_engine_config_320_keeps_fast_pipeline():

@@ -117,6 +117,9 @@ def test_sliced_multigroup_320_matches_oracle():
     dense[160, 160, 252:260] = 1   # straddles x-group boundary
     dense[160, 124:132, 160] = 1   # straddles y lane-chunk boundary
     dense[42, 200, 300] = 1        # high-x, group 1
+    # A solid block so the tiny window is guaranteed visible hits (single
+    # cells at 1/320 pitch can fall between 64×32 pixel centers).
+    dense[150:170, 150:170, 150:170] = 1
 
     view = mat4.initial_view_matrix()
     vol = jnp.asarray(ca.pack_grid(dense))
@@ -126,18 +129,18 @@ def test_sliced_multigroup_320_matches_oracle():
         cell_size=0.85, roughness=0.29,
         base_reflectivity=(0.17, 0.17, 0.17), material_color=(0.0, 0.0, 0.0),
     ))
-    # disable_jit: at n = 320 the jitted interpret-mode graph (5 slab
-    # launches × 10-word × 3-chunk unrolled fetch chains) is deep enough
-    # to crash the CPU XLA compiler (stack overflow in a recursive pass);
-    # eager interpret execution sidesteps the compile entirely.  TPU runs
-    # are
-    # unaffected (each kernel is its own bounded Mosaic compile).
+    # disable_jit + 32-plane slabs: at n = 320 a jitted interpret-mode
+    # graph (slab launches × 10-word × 3-chunk unrolled fetch chains in
+    # one module) is deep enough to crash the CPU XLA compiler (stack
+    # overflow in a recursive pass); eager execution compiles each
+    # interpreted kernel as its own bounded module.  TPU runs are
+    # unaffected (each kernel is a separate Mosaic compile).
     import jax
 
     with jax.disable_jit():
         rgb, depth, idx = raytrace_sliced(
             vol, cam, grid_size=n, width=w_img, height=h_img, shadow=False,
-            interpret=True, slab_planes=64,
+            interpret=True, slab_planes=32,
         )
     idx = np.asarray(idx)
 
