@@ -110,3 +110,114 @@ def test_compiled_sliced_matches_interpret():
     np.testing.assert_allclose(
         np.asarray(c_rgb), np.asarray(i_rgb), rtol=3e-3, atol=3e-4
     )
+
+
+@needs_tpu
+def test_compiled_bricked_matches_interpret():
+    """x-chunked bricks (the 513-1024 path) Mosaic-compiled vs interpret,
+    forced at 64-cubed with 32-cell chunks."""
+    import jax.numpy as jnp
+    import cellularautomatons3d_tpu as ca
+    from cellularautomatons3d_tpu.render.render_fast import pack_cam
+    from cellularautomatons3d_tpu.render.render_slab import raytrace_sliced
+    from cellularautomatons3d_tpu.utils import mat4
+
+    N, W, H = 64, 128, 64
+    dense = _scene(N)
+    vol = jnp.asarray(ca.pack_grid(dense))
+    cam = jnp.asarray(pack_cam(
+        mat4.initial_view_matrix(), W, H, (0.721, 1.0, 1.0), 5.0,
+        0.85, 0.29, (0.17,) * 3, (0.0,) * 3,
+    ))
+    args = dict(grid_size=N, width=W, height=H, shadow=True,
+                slab_planes=32, x_chunk_cells=32)
+    c_rgb, c_d, c_i = raytrace_sliced(vol, cam, interpret=False, **args)
+    i_rgb, i_d, i_i = raytrace_sliced(vol, cam, interpret=True, **args)
+    np.testing.assert_array_equal(np.asarray(c_i), np.asarray(i_i))
+    np.testing.assert_allclose(
+        np.asarray(c_rgb), np.asarray(i_rgb), rtol=3e-3, atol=3e-4
+    )
+
+
+@needs_tpu
+def test_compiled_two_bounce_matches_interpret():
+    """Recursive GI (bounces=2) decomposition on chip vs interpret; the
+    full-frame jit is fine on TPU (per-kernel Mosaic compiles)."""
+    import jax.numpy as jnp
+    import cellularautomatons3d_tpu as ca
+    from cellularautomatons3d_tpu.render import renderer as R
+    from cellularautomatons3d_tpu.render.render_fast import pack_cam
+    from cellularautomatons3d_tpu.render.renderer_fast import trace_shaded
+    from cellularautomatons3d_tpu.utils import mat4
+
+    N, W, H = 64, 128, 64
+    dense = _scene(N)
+    vol = jnp.asarray(ca.pack_grid(dense))
+    cam = jnp.asarray(pack_cam(
+        mat4.initial_view_matrix(), W, H, (0.721, 1.0, 1.0), 5.0,
+        0.85, 0.29, (0.17,) * 3, (0.0,) * 3,
+    ))
+    s = R.RenderStatic(
+        width=W, height=H, grid_size=N, depth_samples=8, shadow_samples=8,
+        indirect_lighting=True, indirect_bounces=2,
+    )
+    c_rgb, _, c_i = trace_shaded(s, vol, cam, None, 2, False)
+    i_rgb, _, i_i = trace_shaded(s, vol, cam, None, 2, True)
+    np.testing.assert_array_equal(np.asarray(c_i), np.asarray(i_i))
+    np.testing.assert_allclose(
+        np.asarray(c_rgb), np.asarray(i_rgb), rtol=3e-3, atol=3e-4
+    )
+
+
+@needs_tpu
+def test_compiled_512_frame_renders():
+    """BASELINE config-5 scale on one chip: a 512-cubed scene renders a
+    finite, non-empty sliced frame (timing lives in tools/bench_scale.py)."""
+    import jax.numpy as jnp
+    import cellularautomatons3d_tpu as ca
+    from cellularautomatons3d_tpu.render.render_fast import pack_cam
+    from cellularautomatons3d_tpu.render.render_slab import raytrace_sliced
+    from cellularautomatons3d_tpu.utils import mat4
+
+    N, W, H = 512, 320, 180
+    dense = np.zeros((N, N, N), np.uint8)
+    dense[200:312, 200:312, 200:312] = 1
+    vol = jnp.asarray(ca.pack_grid(dense))
+    cam = jnp.asarray(pack_cam(
+        mat4.initial_view_matrix(), W, H, (0.721, 1.0, 1.0), 5.0,
+        0.85, 0.29, (0.17,) * 3, (0.0,) * 3,
+    ))
+    rgb, depth, idx = raytrace_sliced(
+        vol, cam, grid_size=N, width=W, height=H, shadow=True,
+        interpret=False,
+    )
+    rgb = np.asarray(rgb)
+    assert np.isfinite(rgb).all() and rgb.max() > 0
+    assert (np.asarray(idx) >= 0).sum() > 100
+
+
+@needs_tpu
+def test_compiled_1024_frame_renders():
+    """Reference grid ceiling: a 1024-cubed scene renders through the
+    (z x x) brick path on one chip."""
+    import jax.numpy as jnp
+    import cellularautomatons3d_tpu as ca
+    from cellularautomatons3d_tpu.render.render_fast import pack_cam
+    from cellularautomatons3d_tpu.render.render_slab import raytrace_sliced
+    from cellularautomatons3d_tpu.utils import mat4
+
+    N, W, H = 1024, 320, 180
+    dense = np.zeros((N, N, N), np.uint8)
+    dense[400:624, 400:624, 400:624] = 1
+    vol = jnp.asarray(ca.pack_grid(dense))
+    cam = jnp.asarray(pack_cam(
+        mat4.initial_view_matrix(), W, H, (0.721, 1.0, 1.0), 5.0,
+        0.85, 0.29, (0.17,) * 3, (0.0,) * 3,
+    ))
+    rgb, depth, idx = raytrace_sliced(
+        vol, cam, grid_size=N, width=W, height=H, shadow=True,
+        interpret=False,
+    )
+    rgb = np.asarray(rgb)
+    assert np.isfinite(rgb).all() and rgb.max() > 0
+    assert (np.asarray(idx) >= 0).sum() > 100
