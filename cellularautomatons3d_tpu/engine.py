@@ -85,10 +85,11 @@ class Engine:
         self._mesh_render = None
         if cfg.mesh_devices:
             # Multi-chip mode (BASELINE config 5): Z-sharded CA step with
-            # ICI halo exchange + pixel-row-sharded rendering.
+            # ICI halo exchange + pixel-row-sharded rendering.  A 2-D
+            # mesh_shape additionally shards Y (pod scale).
             from .parallel.sharded import make_mesh, make_sharded_step
 
-            self.mesh = make_mesh(cfg.mesh_devices)
+            self.mesh = make_mesh(cfg.mesh_devices, shape=cfg.mesh_shape)
             self._sharded_step = make_sharded_step(self.spec, self.mesh)
         if cfg.pipeline == "fast":
             self.history = init_fast_history(cfg.width, cfg.height)
@@ -123,12 +124,14 @@ class Engine:
             self.state = shard_state(self.state, self.mesh)
 
     def _shard_history(self, history):
-        """Place history buffers pixel-row-sharded over the mesh."""
+        """Place history buffers pixel-row-sharded over the mesh (over
+        every mesh axis — a 2-D mesh splits rows mz·my ways)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
-        from .parallel.sharded import AXIS
+
+        axes = tuple(self.mesh.axis_names)
 
         def rows(x):
-            spec = P(AXIS, *([None] * (x.ndim - 1)))
+            spec = P(axes, *([None] * (x.ndim - 1)))
             return jax.device_put(x, NamedSharding(self.mesh, spec))
 
         return jax.tree.map(rows, history)
@@ -217,10 +220,12 @@ class Engine:
         import dataclasses as _dc
 
         from jax.sharding import PartitionSpec as P
-        from .parallel.sharded import AXIS
+        from .parallel.sharded import AXIS, AXIS_Y
 
         mesh = self.mesh
         ndev = mesh.devices.size
+        two_d = AXIS_Y in mesh.axis_names
+        my = mesh.shape[AXIS_Y] if two_d else 1
         s = self.render_static
         s_local = _dc.replace(s, height=s.height // ndev)
         multistate = self.spec.total_states > 2
@@ -228,9 +233,13 @@ class Engine:
         h_local = s.height // ndev
 
         def local_render(state_local, params, hcolor, hidx):
-            gathered = jax.lax.all_gather(
-                state_local, AXIS, axis=(2 if multistate else 1), tiled=True
-            )
+            zax = 2 if multistate else 1
+            gathered = state_local
+            if two_d:
+                gathered = jax.lax.all_gather(
+                    gathered, AXIS_Y, axis=zax + 1, tiled=True
+                )
+            gathered = jax.lax.all_gather(gathered, AXIS, axis=zax, tiled=True)
             if multistate:
                 vis = gathered[0]
                 for i in range(1, gathered.shape[0]):
@@ -238,21 +247,28 @@ class Engine:
                 ages = gathered
             else:
                 vis, ages = gathered, None
-            row0 = (jax.lax.axis_index(AXIS) * h_local).astype(jnp.float32)
+            flat_idx = jax.lax.axis_index(AXIS)
+            if two_d:
+                flat_idx = flat_idx * my + jax.lax.axis_index(AXIS_Y)
+            row0 = (flat_idx * h_local).astype(jnp.float32)
             frame, _, hist = render_frame_fast(
                 s_local, vis, params, FastHistory(hcolor, hidx),
                 camera_static, ages, total_states, row0, s.height,
             )
             return frame, hist.color, hist.hit_idx
 
+        y = AXIS_Y if two_d else None
         state_spec = (
-            P(None, None, AXIS, None) if multistate else P(None, AXIS, None)
+            P(None, None, AXIS, y) if multistate else P(None, AXIS, y)
         )
+        rows = (AXIS, AXIS_Y) if two_d else AXIS
         sm = jax.shard_map(
             local_render,
             mesh=mesh,
-            in_specs=(state_spec, P(), P(AXIS, None, None), P(AXIS, None)),
-            out_specs=(P(AXIS, None, None), P(AXIS, None, None), P(AXIS, None)),
+            in_specs=(state_spec, P(), P(rows, None, None), P(rows, None)),
+            out_specs=(
+                P(rows, None, None), P(rows, None, None), P(rows, None),
+            ),
             # pallas_call's out_shapes carry no varying-mesh-axes metadata;
             # shardings here are fully explicit, so skip the vma check.
             check_vma=False,

@@ -852,7 +852,7 @@ def _prepass_mask(vol_coarse, cam, n, width, height, interpret):
 def _make_kernel(n: int, shadow: bool, width: int, height: int,
                  age_bits: int = 0, total_states: int = 2,
                  debug_no_sweep: bool = False, compose: bool = False,
-                 use_colmask: bool = True):
+                 use_colmask: bool = True, use_mip1: bool = True):
     """Fused full-volume kernel: primary + hard shadow sweep, Cook-Torrance
     shading, age fade.  Soft shadows / one-bounce GI live in the
     decomposed path (renderer_fast.trace_shaded + render_slab helpers): the
@@ -870,8 +870,9 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
     half = 0.5
     sweep, _ = _make_traversal(n, n, age_bits)
 
-    def kernel(cam, zrange, vol, coarse, coarse2, mip1, *rest):
+    def kernel(cam, zrange, vol, coarse, coarse2, *rest):
         rest = list(rest)
+        mip1 = rest.pop(0) if use_mip1 else None
         colmask = rest.pop(0) if use_colmask else None
         if compose:
             prev_r, prev_g, prev_b, prev_idx = rest[:4]
@@ -1248,13 +1249,19 @@ def raytrace_tiles(
         coarse_col = jnp.pad(coarse_col, ((0, 0), (0, LANE - coarse_col.shape[1])))
     # Plane-level block mip for the per-column fine-plane prefilter
     # (x/y-dilated so a midpoint probe per plane is conservative).
-    from ..ops.occupancy import plane_occupancy
+    # CA3D_MIP1=0 disables it for perf attribution: the prefilter trades
+    # 8 coarse gathers + one fold per descended column for skipped fine
+    # planes — a win on surface-band columns, unmeasured on real hardware
+    # so far (exact either way).
+    use_mip1 = _os.environ.get("CA3D_MIP1", "1") == "1"
+    if use_mip1:
+        from ..ops.occupancy import plane_occupancy
 
-    mip1 = dilate_occupancy(
-        plane_occupancy(vol), dilate_z=False, yc=n // 8, dilate_y=True
-    )
-    if mip1.shape[1] < LANE:
-        mip1 = jnp.pad(mip1, ((0, 0), (0, LANE - mip1.shape[1])))
+        mip1 = dilate_occupancy(
+            plane_occupancy(vol), dilate_z=False, yc=n // 8, dilate_y=True
+        )
+        if mip1.shape[1] < LANE:
+            mip1 = jnp.pad(mip1, ((0, 0), (0, LANE - mip1.shape[1])))
     age_bits = 0 if ages is None else int(ages.shape[0])
     if ages is not None:
         ages2d = jnp.pad(ages, ((0, 0), (0, 0), (0, 0), (0, y_pad - n)))
@@ -1269,7 +1276,7 @@ def raytrace_tiles(
     kernel = _make_kernel(
         grid_size, shadow, width, height, age_bits, total_states,
         debug_no_sweep=_debug_no_sweep, compose=compose,
-        use_colmask=use_prepass,
+        use_colmask=use_prepass, use_mip1=use_mip1,
     )
 
     out_shape = [
@@ -1333,9 +1340,11 @@ def raytrace_tiles(
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
-    inputs = [cam, zrange, vol2d, coarse_col, coarse2, mip1]
+    inputs = [cam, zrange, vol2d, coarse_col, coarse2]
+    if use_mip1:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        inputs.append(mip1)
     if use_prepass:
         # Patch prepass: per-8×8-patch conservative column masks — removes
         # every coarse-occupancy gather from the primary sweep.

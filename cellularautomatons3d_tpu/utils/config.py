@@ -103,6 +103,11 @@ class EngineConfig:
     # is Z-sharded with ICI halo exchange (parallel/sharded.py) and frames
     # are rendered pixel-row-sharded over the replicated packed grid.
     mesh_devices: int = 0
+    # Pod scale: (mz, my) builds a 2-D (z, y) mesh — the grid shards along
+    # Z and Y (z-then-y halo exchange), frames row-shard over all mz·my
+    # devices.  Mutually consistent with mesh_devices (product must match
+    # when both are set).
+    mesh_shape: Tuple[int, int] | None = None
 
     def __post_init__(self):
         self.grid_size = snap_grid_size(int(self.grid_size))
@@ -126,6 +131,20 @@ class EngineConfig:
         # (z-slab × x-chunk) brick path (render_slab.py).
         if isinstance(self.light, dict):
             self.light = LightConfig(**self.light)
+        if self.mesh_shape is not None:
+            self.mesh_shape = tuple(int(v) for v in self.mesh_shape)
+            mz, my = self.mesh_shape
+            if self.mesh_devices and self.mesh_devices != mz * my:
+                raise ValueError(
+                    f"mesh_devices {self.mesh_devices} != mesh_shape "
+                    f"product {mz * my}"
+                )
+            self.mesh_devices = mz * my
+            if self.grid_size % mz or self.grid_size % my:
+                raise ValueError(
+                    f"grid_size {self.grid_size} not divisible by mesh_shape "
+                    f"{self.mesh_shape}"
+                )
         if self.mesh_devices:
             if self.grid_size % self.mesh_devices:
                 raise ValueError(
@@ -166,6 +185,7 @@ class EngineConfig:
             "boundary",
             "seed",
             "mesh_devices",
+            "mesh_shape",
             # width/height are live: the Engine reallocates history buffers
             # on resize, matching the reference's mid-run resize path
             # (main_pathtraced.js:781-797).
