@@ -238,7 +238,8 @@ def pack_cam(view_mat, width, height, light_pos, light_magnitude, cell_size,
 
 
 def _make_traversal(n: int, zext: int | None = None,
-                    age_bits: int = 0, x_words: int | None = None):
+                    age_bits: int = 0, x_words: int | None = None,
+                    slice_gate: bool = False):
     """DDA traversal closures over a z-slab [z0, z0+zext) of an n³ volume.
 
     The fused single-kernel path uses the full volume (z0=0, zext=n); the
@@ -323,7 +324,7 @@ def _make_traversal(n: int, zext: int | None = None,
 
     def sweep(vol, coarse, coarse2, zrange, refs, rayrefs, cell_half,
               exclude, accept_far: bool, ages=None, age_ref=None,
-              scalar_origin=None, colmask=None, mip1=None):
+              scalar_origin=None, colmask=None, mip1=None, w_ref=None):
         """Two-direction coarse→fine DDA, fully unrolled.
 
         The coarse-column loop is a *python* loop: every plane index — and
@@ -394,14 +395,14 @@ def _make_traversal(n: int, zext: int | None = None,
                 (flags & 4) == 4,            # steep_col (force fine descent)
             )
 
-        def probe_fine(k_plane: int, ray, pass_active):
+        def plane_geo(k_plane: int, ray, pass_active):
+            """(seg_ok, cx, cy) of a plane's midpoint probe — the first
+            half of probe_fine, shared with the slice-gate one-hot pass
+            (identical ops on identical inputs ⇒ identical values)."""
             ox, oy, oz, dx, dy, dz, t_start, t_end = ray[:8]
-            inv_dx = 1.0 / dx
-            inv_dy = 1.0 / dy
             inv_dz = 1.0 / dz
             found = found_ref[:] == 1
-            gz = z0 + k_plane        # global z of this slab-local plane (i32)
-            gzf = z0f + k_plane      # float form for geometry
+            gzf = z0f + k_plane
             ta = (gzf * inv_n - half - oz) * inv_dz
             tb = ((gzf + 1.0) * inv_n - half - oz) * inv_dz
             lo = jnp.maximum(jnp.minimum(ta, tb), t_start)
@@ -414,7 +415,27 @@ def _make_traversal(n: int, zext: int | None = None,
             cy = jnp.clip(
                 jnp.floor((oy + tm * dy + half) * n), 0, n - 1
             ).astype(_I32)
-            bit = fetch_fine_bit(vol, k_plane, cx, cy, seg_ok, x0w)
+            return seg_ok, cx, cy
+
+        def probe_fine(k_plane: int, ray, pass_active, word=None):
+            ox, oy, oz, dx, dy, dz, t_start, t_end = ray[:8]
+            inv_dx = 1.0 / dx
+            inv_dy = 1.0 / dy
+            inv_dz = 1.0 / dz
+            gz = z0 + k_plane        # global z of this slab-local plane (i32)
+            gzf = z0f + k_plane      # float form for geometry
+            seg_ok, cx, cy = plane_geo(k_plane, ray, pass_active)
+            if word is None:
+                bit = fetch_fine_bit(vol, k_plane, cx, cy, seg_ok, x0w)
+            else:
+                # Slice-gate path: the word was prefetched under the
+                # column's slice mask (descend_gated); extract the bit.
+                bit = jnp.bitwise_and(
+                    jax.lax.shift_right_logical(
+                        word, jnp.bitwise_and(cx, 31).astype(_U32)
+                    ),
+                    _U32(1),
+                ).astype(_I32)
             cand = seg_ok & (bit == 1)
             if exclude is not None and len(exclude) == 3:
                 cand = cand & ~(
@@ -545,6 +566,72 @@ def _make_traversal(n: int, zext: int | None = None,
         # descent from running after every lane has latched).
         tile_mask = _or_fold_scalar(colmask[:]) if colmask is not None else None
 
+        def descend_gated(c_plane: int, direction: int):
+            """Fine descent with slice-gated fetches (CA3D_SLICEGATE=1).
+
+            The unconditional fetch chain costs chunk_words·y_chunks
+            gather+select slices per plane probe (16 at 256³), but a
+            coherent tile's probes touch only 2-4 distinct
+            (x-word, y-chunk) slices per column.  One OR-fold of the 8
+            planes' slice one-hots yields a scalar mask; only flagged
+            slices execute (8 gathers each, one per plane, into a word
+            scratch), then the hit pass consumes the prefetched words.
+            Exact: an unflagged slice means NO lane's probe targets it —
+            exactly the lanes whose where-chain select would have
+            discarded it.  Values never live across the gated regions
+            (the geometry is recomputed from the ray refs inside each,
+            see the sweep docstring's spill note).
+            """
+            nslices = chunk_words * y_chunks
+            assert nslices <= 31 and x0w is None  # fused path only
+            base = c_plane * 8
+            ray = load_ray()
+            pass_active = pass_dir_active(ray, direction)
+            onehot = jnp.zeros((SUB, LANE), dtype=_I32)
+            for f in range(8):
+                seg, cx, cy = plane_geo(base + f, ray, pass_active)
+                sel = jax.lax.shift_right_logical(cx, 5) * y_chunks + (
+                    cy // LANE
+                )
+                onehot = onehot | jnp.where(seg, _I32(1) << sel, _I32(0))
+            smask = _or_fold_scalar(onehot)
+
+            for f in range(8):
+                w_ref[f * SUB : (f + 1) * SUB] = jnp.zeros(
+                    (SUB, LANE), dtype=_U32
+                )
+            for s in range(nslices):
+                wi, c = divmod(s, y_chunks)
+
+                @pl.when(((smask >> s) & 1) != 0)
+                def _(wi=wi, c=c):
+                    ray2 = load_ray()
+                    pa = pass_dir_active(ray2, direction)
+                    for f in range(8):
+                        k = base + f
+                        seg, cx, cy = plane_geo(k, ray2, pa)
+                        match = (
+                            seg
+                            & (jax.lax.shift_right_logical(cx, 5) == wi)
+                            & ((cy // LANE) == c)
+                        )
+                        row = _bcast_row(
+                            vol[k, wi * y_chunks + c : wi * y_chunks + c + 1, :]
+                        )
+                        gc = _lane_gather(row, jnp.bitwise_and(cy, LANE - 1))
+                        cur = w_ref[f * SUB : (f + 1) * SUB]
+                        w_ref[f * SUB : (f + 1) * SUB] = jnp.where(
+                            match, gc, cur
+                        )
+
+            for f in range(8):
+                fo = f if direction > 0 else 7 - f
+                ray3 = load_ray()
+                probe_fine(
+                    base + fo, ray3, pass_dir_active(ray3, direction),
+                    word=w_ref[fo * SUB : (fo + 1) * SUB],
+                )
+
         def group_body(cols, direction):
             ray = load_ray()
             pass_active = pass_dir_active(ray, direction)
@@ -570,6 +657,9 @@ def _make_traversal(n: int, zext: int | None = None,
                     def col_work(c_plane=c_plane, direction=direction):
                         ray = load_ray()
                         pass_active = pass_dir_active(ray, direction)
+                        if slice_gate:
+                            descend_gated(c_plane, direction)
+                            return
                         if mip1 is None:
                             for f in range(8):
                                 k = c_plane * 8 + (
@@ -852,7 +942,8 @@ def _prepass_mask(vol_coarse, cam, n, width, height, interpret):
 def _make_kernel(n: int, shadow: bool, width: int, height: int,
                  age_bits: int = 0, total_states: int = 2,
                  debug_no_sweep: bool = False, compose: bool = False,
-                 use_colmask: bool = True, use_mip1: bool = True):
+                 use_colmask: bool = True, use_mip1: bool = True,
+                 use_slicegate: bool = False):
     """Fused full-volume kernel: primary + hard shadow sweep, Cook-Torrance
     shading, age fade.  Soft shadows / one-bounce GI live in the
     decomposed path (renderer_fast.trace_shaded + render_slab helpers): the
@@ -868,7 +959,7 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
     presentation (render_frame_fast semantics, wgsl:429-471,866-888)."""
     inv_n = 1.0 / n
     half = 0.5
-    sweep, _ = _make_traversal(n, n, age_bits)
+    sweep, _ = _make_traversal(n, n, age_bits, None, use_slicegate)
 
     def kernel(cam, zrange, vol, coarse, coarse2, *rest):
         rest = list(rest)
@@ -888,6 +979,7 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
          r_flags) = rest[:19]
         rest = rest[19:]
         age_ref = rest.pop(0) if age_bits else None
+        w_ref = rest.pop(0) if use_slicegate else None
         rayrefs = (r_ox, r_oy, r_oz, r_dx, r_dy, r_dz, r_t0, r_t1, r_flags)
         t = pl.program_id(0)
         nbx = (width + BW - 1) // BW
@@ -1062,7 +1154,7 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
                 vol, coarse, coarse2, zrange, (f_a, t_a, hx_a, hy_a, hz_a),
                 rayrefs, cell_half, None, True, ages=ages, age_ref=age_ref,
                 scalar_origin=(cam[P_O], cam[P_O + 1], cam[P_O + 2]),
-                colmask=colmask, mip1=mip1,
+                colmask=colmask, mip1=mip1, w_ref=w_ref,
             )
         out_depth[:] = jnp.where(found, t_hit, tf_miss)
         out_idx[:] = jnp.where(
@@ -1080,6 +1172,7 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
             occluded, _, _, _, _ = sweep(
                 vol, coarse, coarse2, zrange, (f_b, t_b, hx_b, hy_b, hz_b),
                 rayrefs, cell_half, (hx_a, hy_a, hz_a), False, mip1=mip1,
+                w_ref=w_ref,
             )
             occl = jnp.where(occluded, jnp.float32(0.0095), jnp.float32(1.0))
 
@@ -1254,6 +1347,11 @@ def raytrace_tiles(
     # planes — a win on surface-band columns, unmeasured on real hardware
     # so far (exact either way).
     use_mip1 = _os.environ.get("CA3D_MIP1", "1") == "1"
+    # CA3D_SLICEGATE=1: slice-gated fine fetches (descend_gated) — an
+    # opt-in perf lever awaiting hardware measurement; exact either way.
+    use_slicegate = _os.environ.get("CA3D_SLICEGATE", "0") == "1"
+    if use_slicegate:
+        use_mip1 = False  # descent path is replaced wholesale
     if use_mip1:
         from ..ops.occupancy import plane_occupancy
 
@@ -1277,6 +1375,7 @@ def raytrace_tiles(
         grid_size, shadow, width, height, age_bits, total_states,
         debug_no_sweep=_debug_no_sweep, compose=compose,
         use_colmask=use_prepass, use_mip1=use_mip1,
+        use_slicegate=use_slicegate,
     )
 
     out_shape = [
@@ -1361,6 +1460,9 @@ def raytrace_tiles(
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         inputs.append(ages2d)
         scratch.append(pltpu.VMEM((SUB, LANE), jnp.int32))  # age_ref
+    if use_slicegate:
+        # Per-plane prefetched words for descend_gated (8 planes/column).
+        scratch.append(pltpu.VMEM((8 * SUB, LANE), jnp.uint32))
     outs = pl.pallas_call(
         kernel,
         grid=(tiles,),
