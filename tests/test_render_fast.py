@@ -218,7 +218,17 @@ def test_fast_shadowing():
 
 
 def shaded(dense, cam, **static_kw):
-    """trace_shaded over a scene: the full extended-lighting composition."""
+    """trace_shaded over a scene: the full extended-lighting composition.
+
+    Runs under ``disable_jit`` so each interpreted kernel compiles as its
+    own bounded module: one-module trace_shaded compiles of this size
+    crash the CPU XLA compiler NONDETERMINISTICALLY (observed at
+    different tests across identical-code suite runs — a stack-limit
+    -adjacent recursive pass).  TPU is unaffected (per-kernel Mosaic
+    compiles); the jitted composition is exercised on-chip by
+    tests/test_tpu_kernel.py."""
+    import jax
+
     from cellularautomatons3d_tpu.render import renderer as R
     from cellularautomatons3d_tpu.render.renderer_fast import trace_shaded
 
@@ -227,7 +237,8 @@ def shaded(dense, cam, **static_kw):
         shadow_samples=8, **static_kw,
     )
     vol, _ = prep(dense)
-    return trace_shaded(s, vol, cam, None, 2, True)
+    with jax.disable_jit():
+        return trace_shaded(s, vol, cam, None, 2, True)
 
 
 def test_fast_emissive_adds_unshadowed_radiance():

@@ -18,6 +18,22 @@ from cellularautomatons3d_tpu.render.renderer_fast import (
 )
 from cellularautomatons3d_tpu.utils import mat4
 
+
+import jax as _jax
+import pytest as _pytest
+
+
+@_pytest.fixture(autouse=True)
+def _eager_interpret():
+    """Run every test in this module under disable_jit: the one-module
+    jitted-interpret compiles of these render graphs crash the CPU XLA
+    compiler nondeterministically (stack-limit-adjacent recursive pass);
+    eager execution compiles each interpreted kernel as its own bounded
+    module.  Semantics are unchanged (jit == eager by construction); the
+    jitted composition runs on-chip in tests/test_tpu_kernel.py."""
+    with _jax.disable_jit():
+        yield
+
 N = 64
 W_IMG, H_IMG = 128, 64
 
