@@ -25,3 +25,34 @@ jax.config.update("jax_platforms", "cpu")
 # and a cached-entry run showed exactly that flakiness (segfault and a
 # spurious numeric failure in render tests).  TPU runs (bench.py, tools/) keep their cache — TPU
 # executables don't carry host CPU feature sets.
+
+
+import pytest  # noqa: E402
+
+_HEAVY_MODULES = {
+    "test_render_fast", "test_renderer_fast", "test_render_slab",
+    "test_engine", "test_engine_mesh", "test_multigroup", "test_render",
+}
+
+
+def _rss_gb() -> float:
+    with open("/proc/self/statm") as f:
+        return int(f.read().split()[1]) * 4096 / 2**30
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_after_heavy(request):
+    """Drop jit/compile caches after heavy render/engine tests once the
+    process has grown.
+
+    A full-suite process accumulates dozens of giant interpret-mode
+    executables; at ~7 GB RSS the XLA:CPU compiler starts segfaulting on
+    graphs that compile fine in a fresh process (observed deterministically
+    at the 137th test, twice).  Clearing once RSS passes the threshold
+    keeps the process compilable while preserving cross-test cache reuse
+    early in the run.
+    """
+    yield
+    mod = request.module.__name__.rsplit(".", 1)[-1]
+    if mod in _HEAVY_MODULES and _rss_gb() > 2.5:
+        jax.clear_caches()
