@@ -8,17 +8,28 @@ enough — we also update the jax config before any backend is initialized.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# CA3D_TPU_TESTS=1 opts out of the CPU pin so the on-TPU parity tests in
+# test_tpu_kernel.py can see the real chip:
+#   CA3D_TPU_TESTS=1 pytest tests/test_tpu_kernel.py
+_USE_TPU = os.environ.get("CA3D_TPU_TESTS") == "1"
+
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
+else:
+    # TPU executables don't embed host CPU features (see the cache note
+    # below) — reuse bench.py's cache so reruns skip Mosaic compiles.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
 # NO persistent compile cache for the CPU suite: XLA:CPU AOT cache entries
 # record pseudo machine features (+prefer-no-scatter/-gather) that the
 # loader then reports as host-feature mismatches ("could lead to SIGILL"),

@@ -3,7 +3,7 @@
 Every other render_fast test runs ``interpret=True`` on CPU; a Mosaic
 miscompile would slip through them (VERDICT r01 weak #5).  These tests run
 only when a real TPU is attached (skipped under the test suite's forced-CPU
-conftest; run with ``JAX_PLATFORMS='' pytest tests/test_tpu_kernel.py``).
+conftest; run with ``CA3D_TPU_TESTS=1 pytest tests/test_tpu_kernel.py``).
 """
 
 import numpy as np
