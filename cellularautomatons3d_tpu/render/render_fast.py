@@ -1342,11 +1342,11 @@ def raytrace_tiles(
         coarse_col = jnp.pad(coarse_col, ((0, 0), (0, LANE - coarse_col.shape[1])))
     # Plane-level block mip for the per-column fine-plane prefilter
     # (x/y-dilated so a midpoint probe per plane is conservative).
-    # CA3D_MIP1=0 disables it for perf attribution: the prefilter trades
-    # 8 coarse gathers + one fold per descended column for skipped fine
-    # planes — a win on surface-band columns, unmeasured on real hardware
-    # so far (exact either way).
-    use_mip1 = _os.environ.get("CA3D_MIP1", "1") == "1"
+    # Measured on 1×v5e (bench scene, composed frame): mip1 ON 21.44 ms
+    # vs OFF 19.23 ms — the 8 coarse gathers + fold per descended column
+    # cost more than the skipped fine planes save, so the default is OFF;
+    # CA3D_MIP1=1 re-enables it for sparse scenes (exact either way).
+    use_mip1 = _os.environ.get("CA3D_MIP1", "0") == "1"
     # CA3D_SLICEGATE=1: slice-gated fine fetches (descend_gated) — an
     # opt-in perf lever awaiting hardware measurement; exact either way.
     use_slicegate = _os.environ.get("CA3D_SLICEGATE", "0") == "1"

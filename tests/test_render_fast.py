@@ -50,10 +50,11 @@ def trace(dense, shadow=False, **kw):
 # ---------------------------------------------------------------- oracle --
 
 
-def oracle_dda(dense, view, cell_mul=0.85):
+def oracle_dda(dense, view, cell_mul=0.85, h=None, w=None):
     """Per-pixel numpy DDA following the kernel spec (primary rays)."""
-    h, w = H_IMG, W_IMG
-    n = N
+    h = H_IMG if h is None else h
+    w = W_IMG if w is None else w
+    n = dense.shape[0]
     rot = view[:3, :3]
     o = view[:3, 3].astype(np.float64)
     depth = np.zeros((h, w), np.float32)
@@ -134,6 +135,32 @@ def test_fast_random_scene_matches_oracle_exactly(seed, density):
     dense = (rng.random((N, N, N)) < density).astype(np.uint8)
     rgb, depth, idx = trace(dense)
     o_depth, o_idx = oracle_dda(dense, mat4.initial_view_matrix())
+    np.testing.assert_array_equal(np.asarray(idx), o_idx)
+
+
+@pytest.mark.parametrize("toggle", ["CA3D_MIP1", "CA3D_SLICEGATE"])
+def test_fast_perf_toggles_match_oracle_exactly(monkeypatch, toggle):
+    """The opt-in perf levers (plane-mip prefilter, slice-gated fetches)
+    must stay conservative-exact: same oracle equality as the default
+    path.  Both default OFF (measured net-negative / unproven on HW).
+    The mip1 case runs at N=32 — its interpret-mode graph (8 plane-mip
+    probes + 8 gated probes per descended column) takes ~7 min at N=64."""
+    monkeypatch.setenv(toggle, "1")
+    rng = np.random.default_rng(5)
+    if toggle == "CA3D_MIP1":
+        n, w_img, h_img = 32, 64, 32
+        dense = (rng.random((n, n, n)) < 0.06).astype(np.uint8)
+        vol, coarse = prep(dense)
+        cam, view = default_cam(width=w_img, height=h_img)
+        rgb, depth, idx = raytrace_tiles(
+            vol, coarse, cam, grid_size=n, width=w_img, height=h_img,
+            shadow=False, interpret=True,
+        )
+        o_depth, o_idx = oracle_dda(dense, view, h=h_img, w=w_img)
+    else:
+        dense = (rng.random((N, N, N)) < 0.02).astype(np.uint8)
+        rgb, depth, idx = trace(dense)
+        o_depth, o_idx = oracle_dda(dense, mat4.initial_view_matrix())
     np.testing.assert_array_equal(np.asarray(idx), o_idx)
 
 
