@@ -51,20 +51,24 @@ def time_variant(state, cam, label, **kw):
 
     @jax.jit
     def many(st, co, cv):
-        acc = None
-        for i in range(REPS):
+        # fori_loop: the kernel compiles once (an unrolled python loop of
+        # 20 pallas calls blows the 10-min compile budget on this relay).
+        def body(i, acc):
             rgb, depth, idx = RF.raytrace_tiles(
-                st, co, cv + i * 1e-6, grid_size=GRID,
+                st, co, cv + i.astype(jnp.float32) * 1e-6, grid_size=GRID,
                 width=WIDTH, height=HEIGHT, **kw,
             )
-            acc = rgb if acc is None else acc + rgb
-        return acc, depth, idx
+            return acc + rgb
+        acc = jax.lax.fori_loop(
+            0, REPS, body, jnp.zeros((HEIGHT, WIDTH, 3), jnp.float32)
+        )
+        return acc
 
     r = many(state, coarse, cam)
-    device_sync(r[0])
+    device_sync(r)
     t0 = time.perf_counter()
     r = many(state, coarse, cam)
-    device_sync(r[0])
+    device_sync(r)
     ms = (time.perf_counter() - t0) * 1000.0 / REPS
     print(f"{label:40s} {ms:8.3f} ms")
     return ms
