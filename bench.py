@@ -13,7 +13,12 @@ round-trip latency and `block_until_ready` returns early, so K iterations
 run inside ONE jitted program (`make_fused_loop`) and completion is forced
 with a 1-element host readback; per-iteration time therefore amortizes at
 most one dispatch (~1 ms at K=50 — steady-state production-loop cost,
-which is the metric: the loop runs continuously in production).
+which is the metric: the loop runs continuously in production).  The
+growth rule would densify the scene over 50 generations (near grid-
+filling by step 130, a far heavier render than rounds 1-2's step-81-90
+band), so the loop restores the 80-step scene every 10 frames
+(`reset_every`): every iteration still performs one full CA step + one
+composed frame; only the scene's cell count stays in the canonical band.
 Prints exactly ONE JSON line.
 """
 
@@ -73,7 +78,7 @@ def main():
     params = _params()
 
     def timed_loop():
-        run = RFW.make_fused_loop(s, spec, K)
+        run = RFW.make_fused_loop(s, spec, K, reset_every=10)
         hist = RFW.init_fast_history(WIDTH, HEIGHT)
         st, hist, frame = run(state + 0, params, hist)  # compile + warm
         device_sync(frame)

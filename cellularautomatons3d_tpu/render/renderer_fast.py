@@ -277,7 +277,8 @@ def render_frame_fast(
     return presentation, depth, new_history
 
 
-def make_fused_loop(s: RenderStatic, spec, frames: int, steps_per_frame: int = 1):
+def make_fused_loop(s: RenderStatic, spec, frames: int, steps_per_frame: int = 1,
+                    reset_every: int = 0):
     """Jitted production loop: ``frames`` iterations of (CA steps + frame)
     entirely on device — the north star's zero-host-round-trip loop
     replacing the reference's per-frame submit (main_pathtraced.js:1833-1850).
@@ -285,6 +286,12 @@ def make_fused_loop(s: RenderStatic, spec, frames: int, steps_per_frame: int = 1
     Returns ``run(state, params, history) -> (state, history, last_frame)``.
     Binary and multi-state automata supported; camera assumed static across
     the loop (interactive motion goes through Engine.render per frame).
+
+    ``reset_every > 0`` restores the input state after every that many
+    frames (benchmarking aid: amortizing the transport dispatch over many
+    frames without letting a growth rule densify the scene — every frame
+    still performs a full CA step + render; only the workload's cell count
+    is pinned to the input scene's band).
 
     When the config allows it (hard shadows, no GI, grid ≤ 256) the loop
     composes frames entirely in-kernel and carries the temporal history in
@@ -336,6 +343,10 @@ def make_fused_loop(s: RenderStatic, spec, frames: int, steps_per_frame: int = 1
                     s, visibility(st), params, hist, True,
                     st if multistate else None, spec.total_states,
                 )
+                if reset_every:
+                    st = jax.lax.cond(
+                        (i + 1) % reset_every == 0, lambda: state, lambda: st
+                    )
                 return st, hist, frame
 
             return jax.lax.fori_loop(
@@ -372,6 +383,10 @@ def make_fused_loop(s: RenderStatic, spec, frames: int, steps_per_frame: int = 1
                 interpret=interp, total_states=spec.total_states,
             )
             pres_r, pres_g, pres_b, depth_b, idx_b, nhr, nhg, nhb = outs
+            if reset_every:
+                st = jax.lax.cond(
+                    (i + 1) % reset_every == 0, lambda: state, lambda: st
+                )
             return st, (nhr, nhg, nhb, idx_b), (pres_r, pres_g, pres_b)
 
         state, hist, pres = jax.lax.fori_loop(
