@@ -73,6 +73,13 @@ from .render_fast import (
     _store_ray,
 )
 
+# Sliced/bricked kernels carry a full z-slab of a >256-cubed volume in
+# VMEM (8.4 MiB at 512-cubed) on top of the tile refs; Mosaic's default
+# 16 MiB scoped-vmem cap OOMs at 512-cubed (measured: 22.5 MiB needed).
+# v5e has 128 MiB of VMEM and these kernels stream almost nothing, so a
+# 64 MiB cap is safe headroom for every brick shape up to 1024-cubed.
+_SLAB_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
 __all__ = ["raytrace_sliced", "MAX_SLICED_GRID", "slab_extent"]
 
 _F32 = jnp.float32
@@ -337,6 +344,7 @@ def cell_state_batch(queries, prepped, *, grid_size, width, height,
             ),
             out_specs=out_spec,
             interpret=interpret,
+            compiler_params=_SLAB_PARAMS,
         )(zrange, *args, vol2d)
         states = states | st
     per_q = states.reshape(nq, tiles * SUB, LANE)
@@ -514,6 +522,7 @@ def shadow_occlusion_batch(cam, queries, prepped, *, grid_size, width,
                 pltpu.VMEM((SUB, LANE), jnp.int32),
             ] + list(ray_scratch),
             interpret=interpret,
+            compiler_params=_SLAB_PARAMS,
         )(cam, zrange, *args, vol2d, col, c2)
         occluded = occluded | occ
     per_q = occluded.reshape(nq, tiles * SUB, LANE)
@@ -826,6 +835,7 @@ def raytrace_sliced(
             out_specs=out_specs,
             scratch_shapes=scratch,
             interpret=interpret,
+            compiler_params=_SLAB_PARAMS,
         )(*inputs)
         t_parts.append(outs[0])
         idx_parts.append(outs[1])

@@ -10,6 +10,15 @@ import os
 import sys
 import time
 
+import os as _os
+import sys as _sys
+
+# Runnable from anywhere: the package lives at the repo root, one
+# level above tools/ (script dir is sys.path[0], not the root).
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO_ROOT not in _sys.path:
+    _sys.path.insert(0, _REPO_ROOT)
+
 import jax
 
 # sitecustomize imports jax first; env var would be read too late.
@@ -79,7 +88,8 @@ def main():
     state = bench_scene()
     cam = cam_vec()
     if "full" in which:
-        time_variant(state, cam, "full (prepass, shadow)")
+        # Defaults: shadow on, prepass OFF (measured loss at bench density).
+        time_variant(state, cam, "full (shadow, default gates)")
     if "noshadow" in which:
         time_variant(state, cam, "no shadow", shadow=False)
     if "nopre" in which:

@@ -5,6 +5,15 @@ gathers vs the double BRDF evaluation.  Run manually on TPU."""
 import os
 import time
 
+import os as _os
+import sys as _sys
+
+# Runnable from anywhere: the package lives at the repo root, one
+# level above tools/ (script dir is sys.path[0], not the root).
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO_ROOT not in _sys.path:
+    _sys.path.insert(0, _REPO_ROOT)
+
 import jax
 
 # sitecustomize imports jax first; env var would be read too late.

@@ -14,6 +14,15 @@ Usage: python tools/profile_trace.py [--out DIR] [--frames K]
 import argparse
 import time
 
+import os as _os
+import sys as _sys
+
+# Runnable from anywhere: the package lives at the repo root, one
+# level above tools/ (script dir is sys.path[0], not the root).
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO_ROOT not in _sys.path:
+    _sys.path.insert(0, _REPO_ROOT)
+
 import jax
 import jax.numpy as jnp
 
