@@ -41,7 +41,13 @@ from cellularautomatons3d_tpu.utils.metrics import device_sync
 
 GRID = 256
 WIDTH, HEIGHT = 1920, 1080
-K = 50
+# K iterations chained in ONE jitted program (see the module docstring):
+# the axon transport's single dispatch round-trip (~50 ms) amortizes to
+# ~0.3 ms/frame at K=150 — the steady-state production-loop cost.  The
+# per-iteration device work is K-independent (fori_loop body = one CA
+# step + one composed frame); reset_every keeps the scene in the
+# canonical band regardless of K.
+K = 150
 
 
 def _params():

@@ -1463,6 +1463,13 @@ def raytrace_tiles(
     if use_slicegate:
         # Per-plane prefetched words for descend_gated (8 planes/column).
         scratch.append(pltpu.VMEM((8 * SUB, LANE), jnp.uint32))
+    # Default SUB=256 fits Mosaic's 16 MiB scoped-vmem cap; tile-size
+    # experiments (CA3D_SUB=512 doubles every tile ref) need it raised —
+    # v5e has 128 MiB, and this kernel streams only the pixel blocks.
+    params = (
+        pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+        if SUB > 256 else None
+    )
     outs = pl.pallas_call(
         kernel,
         grid=(tiles,),
@@ -1471,6 +1478,7 @@ def raytrace_tiles(
         out_specs=[out_spec] * len(out_shape),
         scratch_shapes=scratch,
         interpret=interpret,
+        compiler_params=params,
     )(*inputs)
 
     if compose:
