@@ -77,9 +77,11 @@ class Engine:
             indirect_lighting=bool(cfg.indirect_lighting),
             soft_shadow_samples=int(cfg.soft_shadow_samples),
             indirect_bounces=int(cfg.indirect_bounces),
+            gi_temporal=bool(cfg.gi_temporal),
         )
         self.simulation_step = 0
         self._frame_duration = 0.0
+        self._render_count = 0
         self.mesh = None
         self._sharded_step = None
         self._mesh_render = None
@@ -298,6 +300,9 @@ class Engine:
                 np.array_equal(self.camera.view_mat, self.camera.prev_view_mat)
             )
             multistate = self.spec.total_states > 2
+            sample_idx = None
+            if self.config.gi_temporal:
+                sample_idx = jnp.int32(self._render_count)
             frame, _, self.history = render_frame_fast(
                 self.render_static,
                 self._visibility_plane(),
@@ -306,7 +311,11 @@ class Engine:
                 camera_static,
                 self.state if multistate else None,
                 self.spec.total_states,
+                None,
+                None,
+                sample_idx,
             )
+            self._render_count += 1
         else:
             multistate = self.spec.total_states > 2
             vis = self._visibility_plane()
@@ -372,6 +381,7 @@ class Engine:
             "indirect_lighting",
             "indirect_bounces",
             "soft_shadow_samples",
+            "gi_temporal",
             "width",
             "height",
         }
@@ -411,6 +421,7 @@ class Engine:
             indirect_lighting=bool(cfg.indirect_lighting),
             soft_shadow_samples=int(cfg.soft_shadow_samples),
             indirect_bounces=int(cfg.indirect_bounces),
+            gi_temporal=bool(cfg.gi_temporal),
         )
         want_fast = cfg.pipeline == "fast"
         have_fast = isinstance(self.history, FastHistory)

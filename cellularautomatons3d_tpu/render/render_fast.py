@@ -262,7 +262,7 @@ def _make_traversal(n: int, zext: int | None = None,
     out-of-chunk probe points clamp to the chunk edge whose dilated
     bits cover every in-chunk block within 1 of the probe — the 3-probe
     covering argument survives unchanged (see column_occ).
-    Returns (sweep, fetch_fine_bit).
+    Returns (sweep, fetch_fine_bit, fetch_fine_bits_multi).
     """
     zext = n if zext is None else zext
     w_words = n // 32
@@ -307,6 +307,40 @@ def _make_traversal(n: int, zext: int | None = None,
             _U32(1),
         )
         return bit.astype(_I32)
+
+    def fetch_fine_bits_multi(vol, k_plane: int, qs, x0w=None):
+        """`fetch_fine_bit` for SEVERAL (cx, cy) queries of one plane with
+        the packed-word row loads shared: the GI slot lookups need 4
+        coordinates per pixel whose z's sit within ±1 of the hit cell, so
+        one plane's rows serve all 4 slots (render_slab.cell_state_batch).
+        Returns one i32 bit array per query."""
+        pre = []
+        for cx, cy in qs:
+            wsel = jax.lax.shift_right_logical(cx, 5)
+            if x0w is not None:
+                wsel = wsel - x0w
+            pre.append((wsel, jnp.bitwise_and(cy, LANE - 1), cy // LANE, cx))
+        words = [jnp.zeros((SUB, LANE), dtype=_U32) for _ in qs]
+        for wi in range(chunk_words):
+            for c in range(y_chunks):
+                row = _bcast_row(
+                    vol[k_plane, wi * y_chunks + c : wi * y_chunks + c + 1, :]
+                )
+                for qi, (wsel, yl, ych, _cx) in enumerate(pre):
+                    gc = _lane_gather(row, yl)
+                    sel = (wsel == wi) if y_chunks == 1 else (
+                        (wsel == wi) & (ych == c)
+                    )
+                    words[qi] = jnp.where(sel, gc, words[qi])
+        return [
+            jnp.bitwise_and(
+                jax.lax.shift_right_logical(
+                    w, jnp.bitwise_and(cx, 31).astype(_U32)
+                ),
+                _U32(1),
+            ).astype(_I32)
+            for w, (_, _, _, cx) in zip(words, pre)
+        ]
 
     def fetch_coarse_bit(row_b, bxc, byc, valid, x0b=None):
         if x0b is None:
@@ -801,7 +835,7 @@ def _make_traversal(n: int, zext: int | None = None,
 
         return found_ref[:] == 1, t_ref[:], hx_ref[:], hy_ref[:], hz_ref[:]
 
-    return sweep, fetch_fine_bit
+    return sweep, fetch_fine_bit, fetch_fine_bits_multi
 
 
 PATCH = 8          # prepass patch edge (pixels)
@@ -959,7 +993,7 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
     presentation (render_frame_fast semantics, wgsl:429-471,866-888)."""
     inv_n = 1.0 / n
     half = 0.5
-    sweep, _ = _make_traversal(n, n, age_bits, None, use_slicegate)
+    sweep, _, _ = _make_traversal(n, n, age_bits, None, use_slicegate)
 
     def kernel(cam, zrange, vol, coarse, coarse2, *rest):
         rest = list(rest)

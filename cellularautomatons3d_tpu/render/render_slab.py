@@ -19,9 +19,13 @@ and XLA composites:
   occlusion kernel per slab; global occlusion = OR over slabs.  Soft
   shadows jitter the light target per sample exactly like the fused path.
 
-Indirect lighting (one-bounce GI) is currently fused-path only (≤ 256³):
-its neighbour recording needs z±1 planes around each hit, which crosses
-slab boundaries.
+Indirect lighting (multi-bounce GI) works at every grid size through the
+same decomposition: neighbour cell states ride `cell_state_batch`
+(in-kernel word fetches, ORed over bricks) and each level's occlusion
+queries ride `shadow_occlusion_batch`, so slab/brick boundaries are
+transparent to the GI math.  A temporally-amortized mode
+(`indirect_bounce(slot=…)`, `direct_occlusion(jitter_k=…)`) evaluates one
+rotating sample per frame for real-time use.
 
 Slab extent: ≤ 8 MiB of packed words per slab (256 planes at 512³), in
 multiples of 32 planes so the supercolumn grouping stays aligned.
@@ -42,6 +46,7 @@ scalars.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -70,15 +75,18 @@ from .render_fast import (
     P_WIN,
     SUB,
     _make_traversal,
+    _or_fold_scalar,
     _store_ray,
 )
 
 # Sliced/bricked kernels carry a full z-slab of a >256-cubed volume in
 # VMEM (8.4 MiB at 512-cubed) on top of the tile refs; Mosaic's default
-# 16 MiB scoped-vmem cap OOMs at 512-cubed (measured: 22.5 MiB needed).
-# v5e has 128 MiB of VMEM and these kernels stream almost nothing, so a
-# 64 MiB cap is safe headroom for every brick shape up to 1024-cubed.
-_SLAB_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+# 16 MiB scoped-vmem cap OOMs at 512-cubed (measured: 22.5 MiB needed),
+# and the 4-slot cellstate kernel's unrolled plane loops need 69.6 MiB
+# of (reused) scoped stack at 256³ (measured AOT error).  v5e has
+# 128 MiB of VMEM and these kernels stream almost nothing, so a 100 MiB
+# cap is safe headroom for every kernel shape up to 1024-cubed.
+_SLAB_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 __all__ = ["raytrace_sliced", "MAX_SLICED_GRID", "slab_extent"]
 
@@ -89,6 +97,42 @@ _U32 = jnp.uint32
 MAX_SLICED_GRID = 1024  # reference UI ceiling (main_pathtraced.js:274-277)
 X_BRICK_CELLS = 256     # brick x extent for n > 512 (= one coarse group)
 _SLAB_BYTES = 8 * 2**20  # VMEM budget for one slab's packed words
+
+
+class SlabGroup(NamedTuple):
+    """Equal-shape bricks, inputs stacked on a leading brick axis.
+
+    The per-brick pallas launches of one shape run as a ``lax.scan`` over
+    this axis: the kernel body is traced/compiled ONCE per shape instead
+    of once per brick, which keeps the XLA program size constant in brick
+    count (a 1024³ frame has 16 bricks; unrolled, its fused-frame program
+    OOMed the compiler — ROADMAP "1024³ status")."""
+
+    zext: int
+    xw: int | None          # packed words per x-chunk (None = full-x)
+    bricks: tuple           # (z0, zext, gi) triples, stack order
+    vols: jax.Array         # u32 [S, zext, C, 128] packed brick layouts
+    cols: jax.Array         # u32 [S, R, LANE] column occupancy rows
+    c2s: jax.Array          # u32 [S, R2, LANE] supercolumn rows
+    zrs: jax.Array          # i32 [S, 3|4] (zmin, zmax, z0[, x0w])
+
+
+def _scan_bricks(group: SlabGroup, call, merge, init, extra=None):
+    """Run ``call(vol2d, col, c2, zrange, extra_slice)`` for every brick
+    of a group, folding results with ``merge(acc, outs)``.  Single-brick
+    groups call directly (no scan machinery); larger groups scan so the
+    kernel is traced once."""
+    xs = (group.vols, group.cols, group.c2s, group.zrs)
+    if extra is not None:
+        xs = xs + (extra,)
+    if group.vols.shape[0] == 1:
+        return merge(init, call(*(x[0] for x in xs)))
+
+    def body(acc, x):
+        return merge(acc, call(*x)), None
+
+    acc, _ = jax.lax.scan(body, init, xs)
+    return acc
 
 
 def slab_extent(n: int, x_cells: int | None = None) -> int:
@@ -156,7 +200,7 @@ def _make_primary_kernel(n, zext, width, height, age_bits, x_words=None):
     global z offset (and x word offset, when chunked) ride in
     ``zrange[2:4]`` as runtime scalars, so brick count costs zero extra
     Mosaic compiles."""
-    sweep, _ = _make_traversal(n, zext, age_bits, x_words)
+    sweep, _, _ = _make_traversal(n, zext, age_bits, x_words)
     inv_n = 1.0 / n
     half = 0.5
 
@@ -215,7 +259,7 @@ def _make_primary_kernel(n, zext, width, height, age_bits, x_words=None):
 
 
 def _make_shadow_kernel(n, zext, x_words=None):
-    sweep, _ = _make_traversal(n, zext, 0, x_words)
+    sweep, _, _ = _make_traversal(n, zext, 0, x_words)
     inv_n = 1.0 / n
 
     # No mip1 prefilter here: occlusion launches are BATCHED (soft shadows,
@@ -241,44 +285,76 @@ def _make_shadow_kernel(n, zext, x_words=None):
     return kernel
 
 
-def _make_cellstate_kernel(n, zext, x_words=None):
-    """Per-pixel cell-state lookup for arbitrary target coords, fetched
-    in-kernel.
+def _make_cellstate_kernel(n, zext, nq, x_words=None):
+    """Per-pixel cell-state lookup for ``nq`` target-coord queries per
+    pixel, fetched in-kernel in ONE pass over the volume planes.
 
     Replaces the XLA `jnp.take` gathers of `intersect.get_cell_state`
-    (2M pixels × 4 slots per GI level — the dominant cost of the
-    decomposed indirect pass, ~85 ms/frame at 1080p) with the sweep's
-    lane-gather word fetches: the volume stays in VMEM and each z-plane
-    in the tile's (tight, coherent) target window costs one fetch chain.
-    Exactness: the output bit replicates `state(max(coords, 0) mod n)` —
+    (2M pixels × 4 slots per GI level) with the sweep's lane-gather word
+    fetches — and fixes two costs the first in-kernel cut (one query per
+    kernel instance, [zlo, zhi] interval gate) still paid (CSE-proof
+    profile: 57.5 ms for the 4 GI slots — slower than the full primary
+    sweep):
+
+    * the z-groups to visit are gated by an OR-folded 32-bit BITMASK of
+      the groups any slot actually targets — an interval collapses to
+      the whole volume on silhouette tiles, where foreground and
+      background hits stretch [zlo, zhi] across hundreds of planes while
+      only 2-3 groups are populated;
+    * all ``nq`` slots share each executed plane's packed-word row loads
+      (`fetch_fine_bits_multi`): the GI slots' z's sit within ±1 of the
+      hit cell, so their plane sets coincide and the row loads amortize
+      nq×.
+
+    Exactness: each output bit replicates `state(max(coords, 0) mod n)` —
     the reference's clamp-then-wrap lookup semantics
     (pathtraced_fragment_clustered.wgsl:268-304; intersect.py:95-111).
     The GI layer slots are *edge-diagonal* offsets (wgsl:110-169), so
     lookups take absolute target coords — a 6-face-neighbour mask cannot
     express them.
     """
-    _, fetch = _make_traversal(n, zext, 0, x_words)
+    _, _, fetch_multi = _make_traversal(n, zext, 0, x_words)
+    assert zext // 8 <= 32, "group bitmask is 32-bit (zext ≤ 256)"
 
-    def kernel(zrange, cx_in, cy_in, cz_in, act_in, vol, out_bit):
+    def kernel(zrange, *refs):
+        ins = refs[: 4 * nq]
+        vol = refs[4 * nq]
+        outs = refs[4 * nq + 1 :]
         z0 = zrange[2]
         x0w = zrange[3] if x_words is not None else None
         zmin_c, zmax_c = zrange[0], zrange[1]  # occupied columns, slab-local
-        act = act_in[:] == 1
-        # Clamp-then-wrap target coords (intersect.py:95-111: coords are
-        # pre-clamped ≥ 0 by the caller; lookup wraps modulo n per axis).
-        tx = jnp.maximum(cx_in[:], 0) % n
-        ty = jnp.maximum(cy_in[:], 0) % n
-        tz = jnp.maximum(cz_in[:], 0) % n
-        # Tile-level global-z window of the targets.
-        big = jnp.int32(1 << 30)
-        zlo = jnp.min(jnp.where(act, tz, big))
-        zhi = jnp.max(jnp.where(act, tz, -big))
+        qs = []
+        gm = jnp.zeros((SUB, LANE), _I32)
+        for i in range(nq):
+            cx_in, cy_in, cz_in, act_in = ins[4 * i : 4 * i + 4]
+            act = act_in[:] == 1
+            # Clamp-then-wrap target coords (intersect.py:95-111: coords
+            # are pre-clamped ≥ 0 by the caller; lookup wraps mod n).
+            tx = jnp.maximum(cx_in[:], 0) % n
+            ty = jnp.maximum(cy_in[:], 0) % n
+            tz = jnp.maximum(cz_in[:], 0) % n
+            k = tz - z0  # slab-local plane (may be out of [0, zext))
+            in_slab = act & (k >= 0) & (k < zext)
+            # One-hot of the slab-local 8-plane group, built with an
+            # in-graph shift so group 31 lands on the i32 sign bit; the
+            # clamp keeps out-of-slab shift amounts defined (the where
+            # discards their value).
+            gm = gm | jnp.where(
+                in_slab,
+                jax.lax.shift_left(
+                    jnp.int32(1), jnp.clip(k, 0, zext - 1) >> 3
+                ),
+                0,
+            )
+            qs.append((tx, ty, tz))
+        gmask = _or_fold_scalar(gm)
 
-        out_bit[:] = jnp.zeros((SUB, LANE), _I32)
+        for i in range(nq):
+            outs[i][:] = jnp.zeros((SUB, LANE), _I32)
         for c8 in range(zext // 8):
-            g8 = z0 + c8 * 8  # global z of this 8-plane group (traced)
+            bit = jax.lax.shift_left(jnp.int32(1), jnp.int32(c8))
             gate = (
-                (zhi >= g8) & (zlo < g8 + 8)
+                (jnp.bitwise_and(gmask, bit) != 0)
                 # Unoccupied coarse columns hold no set state bits —
                 # skipping them leaves the bit 0, which equals fetching.
                 & (zmax_c >= c8) & (zmin_c <= c8)
@@ -286,13 +362,17 @@ def _make_cellstate_kernel(n, zext, x_words=None):
 
             @pl.when(gate)
             def _(c8=c8):
-                m = out_bit[:]
+                ms = [outs[i][:] for i in range(nq)]
                 for f in range(8):
                     k = c8 * 8 + f
                     g = z0 + k
-                    b = fetch(vol, k, tx, ty, act, x0w)
-                    m = m | jnp.where(tz == g, b, 0)
-                out_bit[:] = m
+                    bits = fetch_multi(
+                        vol, k, [(tx, ty) for tx, ty, _ in qs], x0w
+                    )
+                    for i, b in enumerate(bits):
+                        ms[i] = ms[i] | jnp.where(qs[i][2] == g, b, 0)
+                for i in range(nq):
+                    outs[i][:] = ms[i]
 
     return kernel
 
@@ -304,51 +384,51 @@ def cell_state_batch(queries, prepped, *, grid_size, width, height,
     ``queries``: list of (coords [H, W, 3] int32 (pre-clamped ≥ 0),
     active [H, W] bool).  Returns one int32 [H, W] state image per query
     with the reference's clamp-then-wrap addressing.  All queries run in
-    ONE kernel launch per brick (grid = len(queries)·tiles); states OR
-    over bricks (cells outside a brick contribute 0).
+    ONE kernel launch per brick (grid = tiles, every query served per
+    instance so the plane row loads are shared); states OR over bricks
+    (cells outside a brick contribute 0).
     """
     n = grid_size
     nbx = pl.cdiv(width, BW)
     nby = pl.cdiv(height, BH)
     tiles = nbx * nby
     nq = len(queries)
-    blk_i32 = jax.ShapeDtypeStruct((nq * tiles * SUB, LANE), jnp.int32)
-    out_spec = pl.BlockSpec((SUB, LANE), lambda t: (t, 0))
+    blk_i32 = jax.ShapeDtypeStruct((tiles * SUB, LANE), jnp.int32)
+    tile_spec = pl.BlockSpec((SUB, LANE), lambda t: (t, 0))
 
-    cols = [[] for _ in range(4)]
+    args = []
     for coords, active in queries:
-        parts = [
+        args += [
             _to_blocks(coords[..., 0], width, height),
             _to_blocks(coords[..., 1], width, height),
             _to_blocks(coords[..., 2], width, height),
             _to_blocks(active.astype(jnp.int32), width, height),
         ]
-        for c, p in zip(cols, parts):
-            c.append(p)
-    args = [jnp.concatenate(c, axis=0) for c in cols]
 
-    states = jnp.zeros((nq * tiles * SUB, LANE), jnp.int32)
-    kernels = {}
-    for zext, xw, vol2d, col, c2, zrange in prepped:
-        key = (zext, xw)
-        if key not in kernels:
-            kernels[key] = _make_cellstate_kernel(n, zext, xw)
-        st = pl.pallas_call(
-            kernels[key],
-            grid=(nq * tiles,),
-            out_shape=blk_i32,
-            in_specs=(
-                [pl.BlockSpec(memory_space=pltpu.SMEM)]
-                + [pl.BlockSpec((SUB, LANE), lambda t: (t, 0))] * 4
-                + [pl.BlockSpec(memory_space=pltpu.VMEM)]
-            ),
-            out_specs=out_spec,
-            interpret=interpret,
-            compiler_params=_SLAB_PARAMS,
-        )(zrange, *args, vol2d)
-        states = states | st
-    per_q = states.reshape(nq, tiles * SUB, LANE)
-    return [_from_blocks(per_q[i], width, height) for i in range(nq)]
+    states = [jnp.zeros((tiles * SUB, LANE), jnp.int32) for _ in range(nq)]
+    for group in prepped:
+        kernel = _make_cellstate_kernel(n, group.zext, nq, group.xw)
+
+        def call(vol2d, col, c2, zrange, kernel=kernel):
+            return pl.pallas_call(
+                kernel,
+                grid=(tiles,),
+                out_shape=[blk_i32] * nq,
+                in_specs=(
+                    [pl.BlockSpec(memory_space=pltpu.SMEM)]
+                    + [tile_spec] * (4 * nq)
+                    + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+                ),
+                out_specs=[tile_spec] * nq,
+                interpret=interpret,
+                compiler_params=_SLAB_PARAMS,
+            )(zrange, *args, vol2d)
+
+        states = _scan_bricks(
+            group, call,
+            lambda a, st: [x | y for x, y in zip(a, st)], states,
+        )
+    return [_from_blocks(s, width, height) for s in states]
 
 
 def _vol2d_slab(vol, z0, zext, n, x0w=None, x_words=None):
@@ -377,19 +457,28 @@ def _chunk_rows(rows, b0, nb, yc):
     return r
 
 
-def _slab_occupancy(coarse_full, z0, zext, n, x0w=None, x_words=None):
+def _slab_occupancy(coarse_full, z0, zext, n, x0w=None, x_words=None,
+                    cache=None):
     """(column rows, supercolumn rows, zrange) for one brick; zrange is
     [zmin, zmax, z0(, x0w)] with slab-local column indices and the
     brick's global z / x-word offsets as runtime scalars
     (render_fast._make_traversal).  Dilation runs on the FULL rows
-    before chunk extraction so cross-chunk carries are kept."""
+    before chunk extraction so cross-chunk carries are kept.  ``cache``
+    (a dict) shares the full-row dilations between the x-chunks of one
+    z-slab — at 1024³ the 16 bricks need only 4 dilation graphs."""
     yc = n // 8
-    sl = coarse_full[z0 // 8 : (z0 + zext) // 8]
-    col = dilate_occupancy(sl, dilate_z=False, yc=yc, dilate_y=False)
-    nc_groups = (zext // 8) // 4
-    c4 = sl[: nc_groups * 4].reshape(nc_groups, 4, -1)
-    c2 = c4[:, 0] | c4[:, 1] | c4[:, 2] | c4[:, 3]
-    c2 = dilate_occupancy(c2, yc=yc)
+    key = (z0, zext)
+    if cache is not None and key in cache:
+        sl, col, c2 = cache[key]
+    else:
+        sl = coarse_full[z0 // 8 : (z0 + zext) // 8]
+        col = dilate_occupancy(sl, dilate_z=False, yc=yc, dilate_y=False)
+        nc_groups = (zext // 8) // 4
+        c4 = sl[: nc_groups * 4].reshape(nc_groups, 4, -1)
+        c2 = c4[:, 0] | c4[:, 1] | c4[:, 2] | c4[:, 3]
+        c2 = dilate_occupancy(c2, yc=yc)
+        if cache is not None:
+            cache[key] = (sl, col, c2)
     occ_nd = sl
     if x0w is not None:
         b0, nb = x0w * 4, x_words * 4
@@ -432,12 +521,19 @@ def _from_blocks(x, width, height):
 
 
 def prep_slabs(vol, bricks, grid_size, x_words=None):
-    """Per-brick kernel operands (packed layout + occupancy structures),
-    computed once per frame and shared across every occlusion pass.
-    ``bricks``: (z0, zext) pairs or (z0, zext, gi) triples (gi = x-group,
-    None = full-x)."""
+    """Kernel operands (packed layouts + occupancy structures) for every
+    brick, computed once per frame and shared across every occlusion
+    pass, grouped by shape with inputs STACKED on a brick axis (see
+    ``SlabGroup`` — consumers scan over it).  ``bricks``: (z0, zext)
+    pairs or (z0, zext, gi) triples (gi = x-group, None = full-x).
+    ``brick_layout`` emits slabs in increasing z0 with only the last
+    slab (and x-remainder) differing in shape, so grouping preserves
+    the global brick order — the min-t tie-break matches the unrolled
+    composite exactly."""
     coarse_full = coarse_occupancy(vol)
-    out = []
+    occ_cache = {}
+    order = []
+    acc = {}
     for brick in bricks:
         z0, zext = brick[:2]
         gi = brick[2] if len(brick) > 2 else None
@@ -445,10 +541,26 @@ def prep_slabs(vol, bricks, grid_size, x_words=None):
         xw = None if gi is None else x_words
         vol2d = _vol2d_slab(vol, z0, zext, grid_size, x0w, xw)
         col, c2, zrange = _slab_occupancy(
-            coarse_full, z0, zext, grid_size, x0w, xw
+            coarse_full, z0, zext, grid_size, x0w, xw, cache=occ_cache
         )
-        out.append((zext, xw, vol2d, col, c2, zrange))
-    return out
+        key = (zext, xw)
+        if key not in acc:
+            acc[key] = ([], [], [], [], [])
+            order.append(key)
+        g = acc[key]
+        g[0].append((z0, zext, gi))
+        g[1].append(vol2d)
+        g[2].append(col)
+        g[3].append(c2)
+        g[4].append(zrange)
+    return [
+        SlabGroup(
+            k[0], k[1], tuple(acc[k][0]),
+            jnp.stack(acc[k][1]), jnp.stack(acc[k][2]),
+            jnp.stack(acc[k][3]), jnp.stack(acc[k][4]),
+        )
+        for k in order
+    ]
 
 
 def shadow_occlusion_batch(cam, queries, prepped, *, grid_size, width,
@@ -498,41 +610,45 @@ def shadow_occlusion_batch(cam, queries, prepped, *, grid_size, width,
     args = [jnp.concatenate(c, axis=0) for c in cols]
 
     occluded = jnp.zeros((nq * tiles * SUB, LANE), jnp.int32)
-    kernels = {}  # (zext, xw) → kernel; equal-shape bricks share a compile
-    for zext, xw, vol2d, col, c2, zrange in prepped:
-        key = (zext, xw)
-        if key not in kernels:
-            kernels[key] = _make_shadow_kernel(n, zext, xw)
-        kernel = kernels[key]
-        occ = pl.pallas_call(
-            kernel,
-            grid=(nq * tiles,),
-            out_shape=blk_i32,
-            in_specs=(
-                [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
-                + [pl.BlockSpec((SUB, LANE), lambda t: (t, 0))] * 11
-                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
-            ),
-            out_specs=out_spec,
-            scratch_shapes=[
-                pltpu.VMEM((SUB, LANE), jnp.int32),
-                pltpu.VMEM((SUB, LANE), jnp.float32),
-                pltpu.VMEM((SUB, LANE), jnp.int32),
-                pltpu.VMEM((SUB, LANE), jnp.int32),
-                pltpu.VMEM((SUB, LANE), jnp.int32),
-            ] + list(ray_scratch),
-            interpret=interpret,
-            compiler_params=_SLAB_PARAMS,
-        )(cam, zrange, *args, vol2d, col, c2)
-        occluded = occluded | occ
+    for group in prepped:
+        kernel = _make_shadow_kernel(n, group.zext, group.xw)
+
+        def call(vol2d, col, c2, zrange, kernel=kernel):
+            return pl.pallas_call(
+                kernel,
+                grid=(nq * tiles,),
+                out_shape=blk_i32,
+                in_specs=(
+                    [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+                    + [pl.BlockSpec((SUB, LANE), lambda t: (t, 0))] * 11
+                    + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+                ),
+                out_specs=out_spec,
+                scratch_shapes=[
+                    pltpu.VMEM((SUB, LANE), jnp.int32),
+                    pltpu.VMEM((SUB, LANE), jnp.float32),
+                    pltpu.VMEM((SUB, LANE), jnp.int32),
+                    pltpu.VMEM((SUB, LANE), jnp.int32),
+                    pltpu.VMEM((SUB, LANE), jnp.int32),
+                ] + list(ray_scratch),
+                interpret=interpret,
+                compiler_params=_SLAB_PARAMS,
+            )(cam, zrange, *args, vol2d, col, c2)
+
+        occluded = _scan_bricks(group, call, lambda a, occ: a | occ, occluded)
     per_q = occluded.reshape(nq, tiles * SUB, LANE)
     return [_from_blocks(per_q[i], width, height) == 1 for i in range(nq)]
 
 
-def soft_shadow_jitter(cam, kk, width, height):
+def soft_shadow_jitter(cam, kk, width, height, nk=None):
     """Jittered area-light offset for soft-shadow sample ``kk`` — the
     reference's sin-fract hash over global-window UVs (n1rand,
-    wgsl:171-180; renderer.py:218-222).  Returns [H, W, 3]."""
+    wgsl:171-180; renderer.py:218-222).  Returns [H, W, 3].  ``kk`` may
+    be a traced i32 scalar in [0, nk) (the temporally-amortized mode
+    rotates the sample index per frame): the per-sample hash constants
+    are then a static f64-rounded table indexed dynamically, so each
+    rotated sample is BIT-IDENTICAL to the corresponding static sample
+    (a 1-ulp constant change would decorrelate the sin-fract hash)."""
     win_w = cam[P_WIN]
     win_h = cam[P_WIN + 1]
     pxs = jnp.arange(width, dtype=jnp.float32)[None, :]
@@ -550,25 +666,44 @@ def soft_shadow_jitter(cam, kk, width, height):
         v = jnp.sin(ax * 12.9898 + ay * 78.233) * 43758.5453
         return (v - jnp.floor(v)) - 0.5
 
+    if isinstance(kk, (int, float)):
+        c1 = jnp.float32(0.17 * kk + 0.05)
+        c2 = jnp.float32(0.29 * kk + 0.11)
+        c3 = jnp.float32(0.41 * kk + 0.23)
+    else:
+        if nk is None:
+            raise ValueError("traced sample index requires nk")
+        ki = jnp.asarray(kk, jnp.int32)
+        c1 = jnp.asarray([0.17 * k + 0.05 for k in range(nk)], jnp.float32)[ki]
+        c2 = jnp.asarray([0.29 * k + 0.11 for k in range(nk)], jnp.float32)[ki]
+        c3 = jnp.asarray([0.41 * k + 0.23 for k in range(nk)], jnp.float32)[ki]
     rad2 = 2.0 * cam[P_LRAD]
-    return jnp.stack(
-        [
-            j1(jnp.float32(0.17 * kk + 0.05)),
-            j1(jnp.float32(0.29 * kk + 0.11)),
-            j1(jnp.float32(0.41 * kk + 0.23)),
-        ],
-        axis=-1,
-    ) * rad2
+    return jnp.stack([j1(c1), j1(c2), j1(c3)], axis=-1) * rad2
 
 
 def direct_occlusion(cam, q, coords, found, prepped, *,
-                     grid_size, width, height, soft_k=1, interpret=False):
+                     grid_size, width, height, soft_k=1, jitter_k=None,
+                     interpret=False):
     """Direct-light occlusion quotient [H, W]: hard (one kernel ray per
     pixel) or soft (``soft_k`` jittered area-light samples averaged,
-    renderer.py:212-224); all samples batched into one launch."""
+    renderer.py:212-224); all samples batched into one launch.
+
+    ``jitter_k``: traced i32 sample index in [0, soft_k) for the
+    temporally-amortized mode — ONE jittered sample per frame whose
+    index rotates over the configured sample count; the temporal EMA
+    converges to the same ``soft_k``-sample average (the reference's own
+    stochastic-shadow pattern: one jittered ray per frame into the
+    accumulator).  Each rotated sample is bit-identical to the
+    corresponding static sample (soft_shadow_jitter's constant table)."""
     light = cam[P_LIGHT : P_LIGHT + 3]
     queries = []
-    for kk in range(max(1, soft_k)):
+    if jitter_k is not None:
+        target = light + soft_shadow_jitter(
+            cam, jitter_k, width, height, nk=max(1, soft_k)
+        )
+        queries.append((q, target, coords, found))
+        soft_k = 1
+    for kk in range(0 if jitter_k is not None else max(1, soft_k)):
         if soft_k > 1:
             target = light + soft_shadow_jitter(cam, kk, width, height)
         else:
@@ -587,7 +722,8 @@ def direct_occlusion(cam, q, coords, found, prepped, *,
 
 
 def indirect_bounce(vol, cam, q, origin, coords, found, prepped, *,
-                    grid_size, width, height, interpret=False, bounces=1):
+                    grid_size, width, height, interpret=False, bounces=1,
+                    slot=None):
     """Indirect GI (wgsl:307-377; semantics of renderer._indirect_lighting
     with the stochastic shadow march replaced by cell-exact occlusion
     kernels, each level's 4 neighbour slots batched into one launch).
@@ -599,7 +735,14 @@ def indirect_bounce(vol, cam, q, origin, coords, found, prepped, *,
     Neighbour states come from ``cell_state_batch`` (one in-kernel
     word-fetch launch per GI level, all 4 slots batched) instead of XLA
     per-pixel gathers — the round-2 ablation put ~85 ms of the 117 ms GI
-    frame on `get_cell_state`'s `jnp.take` over 2M pixels × 4 slots."""
+    frame on `get_cell_state`'s `jnp.take` over 2M pixels × 4 slots.
+
+    ``slot``: traced i32 scalar — temporally-amortized mode: evaluate
+    ONE of the 4 neighbour slots, scaled ×4 (an unbiased estimator of
+    the 4-slot sum); the caller rotates the slot per frame so the
+    temporal EMA converges to the full indirect term at ~1/3 of its
+    per-frame sweep cost.  Requires ``bounces == 1`` (deeper recursion
+    with one shared slot index would correlate the levels)."""
     from . import brdf
     from .intersect import (
         FULL_CUBE_SIZE,
@@ -626,25 +769,32 @@ def indirect_bounce(vol, cam, q, origin, coords, found, prepped, *,
             base_reflectivity=cam[P_REFL : P_REFL + 3],
         )
 
+    def slot_offsets(face):
+        """Per-slot [H, W, 3] target offsets: all 4 (static mode) or the
+        one traced ``slot`` (temporal mode)."""
+        if slot is None:
+            return [
+                jnp.take(layers[:, i, :], face, axis=0) for i in range(4)
+            ]
+        lay = jax.lax.dynamic_index_in_dim(
+            layers, slot, axis=1, keepdims=False
+        )  # [6, 3]
+        return [jnp.take(lay, face, axis=0)]
+
     def indirect_from(point, porigin, pcoords, viewer, active, depth_left):
         face = _face_index(cube_face_normal(point, porigin))
-        # All 4 slots' target coords are known here (face + layer
-        # offsets), so their states ride ONE batched in-kernel lookup.
-        slot_cl = []
-        for i in range(4):
-            off = jnp.take(layers[:, i, :], face, axis=0)   # [H, W, 3] i32
-            slot_cl.append(jnp.maximum(pcoords + off, 0))
+        # All slots' target coords are known here (face + layer offsets),
+        # so their states ride ONE batched in-kernel lookup.
+        offs = slot_offsets(face)
+        slot_cl = [jnp.maximum(pcoords + off, 0) for off in offs]
         slot_states = cell_state_batch(
             [(cl, active) for cl in slot_cl], prepped, grid_size=n,
             width=width, height=height, interpret=interpret,
         )
         slots = []
         queries = []
-        for i in range(4):
-            off = jnp.take(layers[:, i, :], face, axis=0)   # [H, W, 3] i32
+        for off, n_cl, n_state in zip(offs, slot_cl, slot_states):
             n_coords = pcoords + off
-            n_cl = slot_cl[i]
-            n_state = slot_states[i]
             n_origin = (
                 n_coords.astype(jnp.float32) * cell
                 + cell * 0.5
@@ -676,8 +826,12 @@ def indirect_bounce(vol, cam, q, origin, coords, found, prepped, *,
                 )
             bounce = shade(point, porigin, pcoords, viewer, reflected, n_point)
             total = total + jnp.where(ok[..., None], bounce, 0.0)
+        if slot is not None:
+            total = total * jnp.float32(4.0)  # unbiased 1-of-4 estimator
         return total
 
+    if slot is not None and int(bounces) > 1:
+        raise ValueError("temporal slot sampling requires bounces == 1")
     return indirect_from(q, origin, coords, o, found, max(1, int(bounces)))
 
 
@@ -750,11 +904,18 @@ def raytrace_sliced(
     indirect_bounces: int = 1,
     slab_planes: int | None = None,  # override for tests (multiple of 32)
     x_chunk_cells: int | None = None,  # override for tests (32/64/128/256)
+    sample_idx=None,  # traced i32: temporally-amortized soft/GI sampling
 ):
     """Trace all pixels of an n > 256 volume via z-slab decomposition.
     Returns (light_rgb [H,W,3], depth [H,W], hit_idx [H,W]) — the same
     contract as render_fast.raytrace_tiles.  Emissive radiance is NOT
-    added here (the wrapper owns it, renderer_fast.trace_shaded)."""
+    added here (the wrapper owns it, renderer_fast.trace_shaded).
+
+    ``sample_idx``: traced frame counter.  When given, soft shadows and
+    GI each evaluate ONE rotating sample per frame (direct_occlusion's
+    ``jitter_k`` / indirect_bounce's ``slot``) so the temporal EMA
+    converges to the full multi-sample result at a fraction of the
+    per-frame sweep cost."""
     from . import brdf
 
     n = grid_size
@@ -766,7 +927,6 @@ def raytrace_sliced(
     nbx = pl.cdiv(width, BW)
     nby = pl.cdiv(height, BH)
     tiles = nbx * nby
-    coarse_full = coarse_occupancy(vol)
 
     blk_f32 = jax.ShapeDtypeStruct((tiles * SUB, LANE), jnp.float32)
     blk_i32 = jax.ShapeDtypeStruct((tiles * SUB, LANE), jnp.int32)
@@ -775,15 +935,44 @@ def raytrace_sliced(
         pltpu.VMEM((SUB, LANE), jnp.float32) for _ in range(8)
     ] + [pltpu.VMEM((SUB, LANE), jnp.int32)]  # r_flags
 
-    # ---- primary pass: one launch per brick (equal-shape bricks share a
-    # single compiled kernel — z0/x0w are runtime scalars), min-t composite
-    t_parts, idx_parts, age_parts = [], [], []
-    primary_kernels = {}
-    for z0, zext, gi in bricks:
-        x0w = None if gi is None else gi * bxw
-        xw = None if gi is None else bxw
-        vol2d = _vol2d_slab(vol, z0, zext, n, x0w, xw)
-        col, c2, zrange = _slab_occupancy(coarse_full, z0, zext, n, x0w, xw)
+    # ---- primary pass: one lax.scan per brick SHAPE (the kernel is traced
+    # once; z0/x0w ride as runtime scalars), running min-t composite —
+    # exact because bricks partition the cells, and the strict `<` keeps
+    # the first-found brick on (measure-zero) ties like the previous
+    # stacked argmin did.  `prep_slabs`' groups are shared with the
+    # occlusion/GI passes below, so each brick is relaid out once.
+    groups = prep_slabs(vol, bricks, n, bxw)
+
+    def _age_stack(group):
+        """Stack per-brick age-plane layouts in the group's brick order."""
+        y_pad = -(-n // LANE) * LANE
+        parts = []
+        for z0, zext, gi in group.bricks:
+            a = ages[:, :, z0 : z0 + zext, :]
+            words = n // 32
+            if gi is not None:
+                x0w = gi * bxw
+                a = a[:, x0w : x0w + bxw]
+                words = bxw
+                if a.shape[1] < bxw:
+                    a = jnp.pad(
+                        a, ((0, 0), (0, bxw - a.shape[1]), (0, 0), (0, 0))
+                    )
+            a = jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, y_pad - n)))
+            parts.append(
+                a.transpose(0, 2, 1, 3).reshape(
+                    age_bits * zext, words * (y_pad // LANE), LANE
+                )
+            )
+        return jnp.stack(parts)
+
+    t_hit = jnp.full((tiles * SUB, LANE), jnp.inf, jnp.float32)
+    idx = jnp.full((tiles * SUB, LANE), -1, jnp.int32)
+    age_blk = jnp.zeros((tiles * SUB, LANE), jnp.int32) if age_bits else None
+    for group in groups:
+        kernel = _make_primary_kernel(
+            n, group.zext, width, height, age_bits, group.xw
+        )
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -791,7 +980,6 @@ def raytrace_sliced(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ]
-        inputs = [cam, zrange, vol2d, col, c2]
         out_shape = [blk_f32, blk_i32]
         out_specs = [out_spec, out_spec]
         scratch = [
@@ -801,58 +989,48 @@ def raytrace_sliced(
             pltpu.VMEM((SUB, LANE), jnp.int32),    # hy_a
             pltpu.VMEM((SUB, LANE), jnp.int32),    # hz_a
         ] + list(ray_scratch)
+        extra = None
         if age_bits:
-            a = ages[:, :, z0 : z0 + zext, :]
-            words = n // 32
-            if x0w is not None:
-                a = a[:, x0w : x0w + xw]
-                words = xw
-                if a.shape[1] < xw:
-                    a = jnp.pad(
-                        a, ((0, 0), (0, xw - a.shape[1]), (0, 0), (0, 0))
-                    )
-            y_pad = -(-n // LANE) * LANE
-            a = jnp.pad(a, ((0, 0), (0, 0), (0, 0), (0, y_pad - n)))
-            a = a.transpose(0, 2, 1, 3).reshape(
-                age_bits * zext, words * (y_pad // LANE), LANE
-            )
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-            inputs.append(a)
             out_shape.append(blk_i32)
             out_specs.append(out_spec)
             scratch.append(pltpu.VMEM((SUB, LANE), jnp.int32))  # age_ref
-        key = (zext, xw)
-        if key not in primary_kernels:
-            primary_kernels[key] = _make_primary_kernel(
-                n, zext, width, height, age_bits, xw
-            )
-        kernel = primary_kernels[key]
-        outs = pl.pallas_call(
-            kernel,
-            grid=(tiles,),
-            out_shape=out_shape,
-            in_specs=in_specs,
-            out_specs=out_specs,
-            scratch_shapes=scratch,
-            interpret=interpret,
-            compiler_params=_SLAB_PARAMS,
-        )(*inputs)
-        t_parts.append(outs[0])
-        idx_parts.append(outs[1])
-        if age_bits:
-            age_parts.append(outs[2])
+            extra = _age_stack(group)
 
-    t_all = jnp.stack(t_parts)      # [S, tiles·SUB, LANE]
-    idx_all = jnp.stack(idx_parts)
-    t_sel = jnp.where(idx_all >= 0, t_all, jnp.float32(jnp.inf))
-    best = jnp.argmin(t_sel, axis=0)
-    t_hit = jnp.take_along_axis(t_all, best[None], axis=0)[0]
-    idx = jnp.take_along_axis(idx_all, best[None], axis=0)[0]
-    found_blk = jnp.any(idx_all >= 0, axis=0)
-    idx = jnp.where(found_blk, idx, -1)
-    if age_bits:
-        age_all = jnp.stack(age_parts)
-        age_blk = jnp.take_along_axis(age_all, best[None], axis=0)[0]
+        def call(vol2d, col, c2, zrange, *rest, kernel=kernel,
+                 in_specs=in_specs, out_shape=out_shape,
+                 out_specs=out_specs, scratch=scratch):
+            inputs = [cam, zrange, vol2d, col, c2] + list(rest)
+            return pl.pallas_call(
+                kernel,
+                grid=(tiles,),
+                out_shape=out_shape,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=scratch,
+                interpret=interpret,
+                compiler_params=_SLAB_PARAMS,
+            )(*inputs)
+
+        def merge(best, outs):
+            t_b, i_b = outs[0], outs[1]
+            better = (i_b >= 0) & (t_b < best[0])
+            new = (
+                jnp.where(better, t_b, best[0]),
+                jnp.where(better, i_b, best[1]),
+            )
+            if age_bits:
+                new = new + (jnp.where(better, outs[2], best[2]),)
+            return new
+
+        init = (t_hit, idx) + ((age_blk,) if age_bits else ())
+        merged = _scan_bricks(group, call, merge, init, extra=extra)
+        t_hit, idx = merged[0], merged[1]
+        if age_bits:
+            age_blk = merged[2]
+    # Unfound pixels carry t=+inf from the merge init; zero it so the
+    # XLA geometry below stays finite (their outputs are found-masked).
+    t_hit = jnp.where(idx >= 0, t_hit, 0.0)
 
     # ---- geometry + shadows + shading in XLA ---------------------------
     idx_img = _from_blocks(idx, width, height)
@@ -862,14 +1040,16 @@ def raytrace_sliced(
     )
     depth = jnp.where(found, t_img, tf_miss)
 
-    prepped = None
-    if shadow or indirect:
-        prepped = prep_slabs(vol, bricks, n, bxw)
+    prepped = groups  # shared with the primary pass (one relayout per brick)
     if shadow:
+        jitter_k = None
+        if sample_idx is not None and soft_shadow_samples > 1:
+            jitter_k = (sample_idx % soft_shadow_samples).astype(jnp.int32)
         occl = direct_occlusion(
             cam, q, coords, found, prepped,
             grid_size=n, width=width, height=height,
-            soft_k=soft_shadow_samples, interpret=interpret,
+            soft_k=soft_shadow_samples, jitter_k=jitter_k,
+            interpret=interpret,
         )
     else:
         occl = jnp.ones((height, width), jnp.float32)
@@ -896,10 +1076,15 @@ def raytrace_sliced(
         occl = occl * fade
     out = jnp.maximum(color, 0.0) * occl[..., None]
     if indirect:
+        gi_slot = None
+        gi_bounces = indirect_bounces
+        if sample_idx is not None:
+            gi_slot = (sample_idx % 4).astype(jnp.int32)
+            gi_bounces = 1
         out = out + indirect_bounce(
             vol, cam, q, origin, coords, found, prepped,
             grid_size=n, width=width, height=height,
-            interpret=interpret, bounces=indirect_bounces,
+            interpret=interpret, bounces=gi_bounces, slot=gi_slot,
         )
     rgb = jnp.where(found[..., None], out, 0.0)
     return rgb, depth, idx_img

@@ -65,6 +65,14 @@ class RenderStatic:
     # bounce (wgsl:307-377); b > 1 feeds each neighbour's own indirect
     # radiance into the next level (4^b neighbour evaluations).
     indirect_bounces: int = 1
+    # Temporally-amortized lighting (fast pipeline only): soft shadows
+    # and GI evaluate ONE rotating sample per frame and let the temporal
+    # EMA converge to the full multi-sample result — the reference's own
+    # stochastic-accumulation pattern (its per-frame shadow ray is
+    # jittered and accumulated, wgsl:644,429-471) applied to the
+    # extended lighting.  Requires a frame counter (sample_idx) from the
+    # caller; implies indirect_bounces == 1.
+    gi_temporal: bool = False
 
 
 class RenderParams(NamedTuple):

@@ -88,6 +88,7 @@ def trace_shaded(
     ages: jnp.ndarray | None = None,
     total_states: int = 2,
     interpret: bool = False,
+    sample_idx: jnp.ndarray | None = None,
 ):
     """Traced + shaded scene: (rgb [H,W,3] linear light, depth, hit_idx).
 
@@ -125,15 +126,22 @@ def trace_shaded(
                 prep_slabs,
             )
 
+            temporal = s.gi_temporal and sample_idx is not None
             prepped = prep_slabs(packed, [(0, n)], n)
             q, origin, coords, found, _ = hit_geometry(
                 cam, idx, depth, grid_size=n, width=w, height=h
             )
             if soft:
+                jitter_k = None
+                if temporal:
+                    jitter_k = (
+                        sample_idx % s.soft_shadow_samples
+                    ).astype(jnp.int32)
                 occl = direct_occlusion(
                     cam, q, coords, found, prepped,
                     grid_size=n, width=w, height=h,
-                    soft_k=s.soft_shadow_samples, interpret=interpret,
+                    soft_k=s.soft_shadow_samples, jitter_k=jitter_k,
+                    interpret=interpret,
                 )
                 # The kernel output is unshadowed (but age-faded) direct
                 # light; the soft occlusion multiplies it here.
@@ -144,7 +152,12 @@ def trace_shaded(
                     indirect_bounce(
                         packed, cam, q, origin, coords, found, prepped,
                         grid_size=n, width=w, height=h,
-                        interpret=interpret, bounces=s.indirect_bounces,
+                        interpret=interpret,
+                        bounces=1 if temporal else s.indirect_bounces,
+                        slot=(
+                            (sample_idx % 4).astype(jnp.int32)
+                            if temporal else None
+                        ),
                     ),
                     0.0,
                 )
@@ -163,6 +176,7 @@ def trace_shaded(
             soft_shadow_samples=s.soft_shadow_samples,
             indirect=s.indirect_lighting,
             indirect_bounces=s.indirect_bounces,
+            sample_idx=sample_idx if s.gi_temporal else None,
         )
     # Emissive cells: surfaces add their own radiance, neither shadowed
     # nor age-faded (renderer.py:263-264).
@@ -184,9 +198,15 @@ def render_frame_fast(
     total_states: int = 2,
     row0: jnp.ndarray | None = None,
     full_height: int | None = None,
+    sample_idx: jnp.ndarray | None = None,
 ):
     """One fast-path frame.  Returns (presentation [H,W,3] f32, depth
     [H,W] f32, new FastHistory).
+
+    ``sample_idx``: traced frame counter for the temporally-amortized
+    lighting mode (RenderStatic.gi_temporal) — rotates the soft-shadow
+    jitter and GI slot per frame; the EMA below converges to the full
+    multi-sample lighting.
 
     ``row0``/``full_height``: set when this call renders a horizontal row
     shard of a larger window (mesh mode, engine._mesh_render) — pixel rows
@@ -207,6 +227,7 @@ def render_frame_fast(
         s, packed, cam, ages, total_states,
         # The Pallas TPU kernel has no CPU lowering — interpret off-TPU.
         jax.default_backend() == "cpu",
+        sample_idx,
     )
 
     # Global-window UVs for this (possibly row-sharded) pixel range.
@@ -342,6 +363,8 @@ def make_fused_loop(s: RenderStatic, spec, frames: int, steps_per_frame: int = 1
                 frame, _, hist = render_frame_fast(
                     s, visibility(st), params, hist, True,
                     st if multistate else None, spec.total_states,
+                    None, None,
+                    i.astype(jnp.int32) if s.gi_temporal else None,
                 )
                 if reset_every:
                     st = jax.lax.cond(

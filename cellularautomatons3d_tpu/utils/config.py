@@ -95,6 +95,11 @@ class EngineConfig:
     indirect_lighting: bool = False      # one-bounce GI (wgsl:307-377, enabled)
     indirect_bounces: int = 1            # GI recursion depth (4^b neighbours)
     soft_shadow_samples: int = 1         # >1 = area-light soft shadows
+    # Temporally-amortized lighting: soft shadows / GI evaluate ONE
+    # rotating sample per frame and converge through the temporal EMA —
+    # the reference's stochastic-accumulation pattern (wgsl:644,429-471)
+    # applied to the extended lighting.  Real-time GI mode.
+    gi_temporal: bool = False
     light_radius: float = 0.0            # area-light radius for soft shadows
     emissive_color: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     emissive_strength: float = 0.0

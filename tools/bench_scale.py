@@ -83,7 +83,8 @@ def _timed_frames(s, spec, state, k=5):
         def body(i, carry):
             h, _ = carry
             frame, _, h = RFW.render_frame_fast(
-                s, st, params, h, True, None, 2
+                s, st, params, h, True, None, 2, None, None,
+                i.astype(jnp.int32) if s.gi_temporal else None,
             )
             return h, frame
 
@@ -147,7 +148,26 @@ def bench_gi():
     }))
 
 
-BENCHES = {"512": bench_512, "1024": bench_1024, "gi": bench_gi}
+def bench_gi_temporal():
+    """The real-time GI mode: one rotating soft-shadow sample + one
+    rotating GI slot per frame (RenderStatic.gi_temporal), converging to
+    the full 4-sample lighting through the temporal EMA."""
+    spec, state = _scene(256)
+    s = RenderStatic(width=WIDTH, height=HEIGHT, grid_size=256,
+                     depth_samples=35, shadow_samples=30,
+                     indirect_lighting=True, soft_shadow_samples=4,
+                     gi_temporal=True)
+    frame_ms = _timed_frames(s, spec, state, k=20)
+    print(json.dumps({
+        "metric": "256^3 GI temporal (1 rotating sample/frame) 1080p frame",
+        "value": round(frame_ms, 3), "unit": "ms",
+        "target_ms": 33.3,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+BENCHES = {"512": bench_512, "1024": bench_1024, "gi": bench_gi,
+           "gi_temporal": bench_gi_temporal}
 
 
 if __name__ == "__main__":

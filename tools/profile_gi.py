@@ -94,7 +94,7 @@ def main():
     prepped = jax.jit(
         lambda st: RS.prep_slabs(st, [(0, GRID)], GRID)
     )(state)
-    device_sync(prepped[0][2])
+    device_sync(prepped[0].vols)
 
     @jax.jit
     def occl(cv, qq, crd, fnd, st):
