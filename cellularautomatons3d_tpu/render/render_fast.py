@@ -120,13 +120,14 @@ def _lane_gather(chunk_2d, idx):
     return jnp.take_along_axis(chunk_2d, idx, axis=1)
 
 
-def _bcast_row(row_1xL):
+def _bcast_row(row_1xL, sub=None):
     # Mosaic only broadcasts a row across one vreg's sublanes (8 for 32-bit);
     # wider tiles replicate by concatenation.
+    sub = SUB if sub is None else sub
     b = jnp.broadcast_to(row_1xL, (8, LANE))
-    if SUB == 8:
+    if sub == 8:
         return b
-    return jnp.concatenate([b] * (SUB // 8), axis=0)
+    return jnp.concatenate([b] * (sub // 8), axis=0)
 
 
 def _normalize3(x, y, z):
@@ -239,7 +240,7 @@ def pack_cam(view_mat, width, height, light_pos, light_magnitude, cell_size,
 
 def _make_traversal(n: int, zext: int | None = None,
                     age_bits: int = 0, x_words: int | None = None,
-                    slice_gate: bool = False):
+                    slice_gate: bool = False, sub: int | None = None):
     """DDA traversal closures over a z-slab [z0, z0+zext) of an n³ volume.
 
     The fused single-kernel path uses the full volume (z0=0, zext=n); the
@@ -262,8 +263,14 @@ def _make_traversal(n: int, zext: int | None = None,
     out-of-chunk probe points clamp to the chunk edge whose dilated
     bits cover every in-chunk block within 1 of the probe — the 3-probe
     covering argument survives unchanged (see column_occ).
+
+    ``sub``: tile sublane count of the FETCH closures (default: module
+    SUB).  The cellstate kernel runs on finer tiles than the sweep —
+    its z-group bitmask gate tightens with screen footprint — while the
+    sweep itself always uses (SUB, LANE) tiles.
     Returns (sweep, fetch_fine_bit, fetch_fine_bits_multi).
     """
+    fsub = SUB if sub is None else sub
     zext = n if zext is None else zext
     w_words = n // 32
     chunk_words = w_words if x_words is None else x_words
@@ -291,11 +298,11 @@ def _make_traversal(n: int, zext: int | None = None,
         if x0w is not None:
             wsel = wsel - x0w
         yl = jnp.bitwise_and(cy, LANE - 1)
-        word = jnp.zeros((SUB, LANE), dtype=_U32)
+        word = jnp.zeros((fsub, LANE), dtype=_U32)
         for wi in range(chunk_words):
-            g = jnp.zeros((SUB, LANE), dtype=_U32)
+            g = jnp.zeros((fsub, LANE), dtype=_U32)
             for c in range(y_chunks):
-                row = _bcast_row(vol[k_plane, wi * y_chunks + c : wi * y_chunks + c + 1, :])
+                row = _bcast_row(vol[k_plane, wi * y_chunks + c : wi * y_chunks + c + 1, :], fsub)
                 gc = _lane_gather(row, yl)
                 if y_chunks == 1:
                     g = gc
@@ -320,11 +327,12 @@ def _make_traversal(n: int, zext: int | None = None,
             if x0w is not None:
                 wsel = wsel - x0w
             pre.append((wsel, jnp.bitwise_and(cy, LANE - 1), cy // LANE, cx))
-        words = [jnp.zeros((SUB, LANE), dtype=_U32) for _ in qs]
+        words = [jnp.zeros((fsub, LANE), dtype=_U32) for _ in qs]
         for wi in range(chunk_words):
             for c in range(y_chunks):
                 row = _bcast_row(
-                    vol[k_plane, wi * y_chunks + c : wi * y_chunks + c + 1, :]
+                    vol[k_plane, wi * y_chunks + c : wi * y_chunks + c + 1, :],
+                    fsub,
                 )
                 for qi, (wsel, yl, ych, _cx) in enumerate(pre):
                     gc = _lane_gather(row, yl)

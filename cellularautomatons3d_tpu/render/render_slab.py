@@ -98,6 +98,13 @@ MAX_SLICED_GRID = 1024  # reference UI ceiling (main_pathtraced.js:274-277)
 X_BRICK_CELLS = 256     # brick x extent for n > 512 (= one coarse group)
 _SLAB_BYTES = 8 * 2**20  # VMEM budget for one slab's packed words
 
+# Cellstate-kernel tile sublanes (must divide SUB, ≥ 8): finer strips
+# tighten the per-instance z-group bitmask (see _make_cellstate_kernel).
+import os as _os
+
+CS_SUB = int(_os.environ.get("CA3D_CS_SUB", "32"))
+assert SUB % CS_SUB == 0 and CS_SUB >= 8
+
 
 class SlabGroup(NamedTuple):
     """Equal-shape bricks, inputs stacked on a leading brick axis.
@@ -285,7 +292,7 @@ def _make_shadow_kernel(n, zext, x_words=None):
     return kernel
 
 
-def _make_cellstate_kernel(n, zext, nq, x_words=None):
+def _make_cellstate_kernel(n, zext, nq, x_words=None, sub=SUB):
     """Per-pixel cell-state lookup for ``nq`` target-coord queries per
     pixel, fetched in-kernel in ONE pass over the volume planes.
 
@@ -304,7 +311,13 @@ def _make_cellstate_kernel(n, zext, nq, x_words=None):
     * all ``nq`` slots share each executed plane's packed-word row loads
       (`fetch_fine_bits_multi`): the GI slots' z's sit within ±1 of the
       hit cell, so their plane sets coincide and the row loads amortize
-      nq×.
+      nq×;
+    * the kernel runs on (``sub``, LANE) tiles FINER than the sweep's
+      (SUB, LANE): the bitmask gate's effectiveness scales inversely
+      with the tile's screen footprint (a 256×128-pixel tile spans many
+      depth levels, a 16×256 strip few) and this kernel has no sweep to
+      amortize — traced at sub=SUB it costs 13.7 ms/frame, more than
+      the whole primary sweep.
 
     Exactness: each output bit replicates `state(max(coords, 0) mod n)` —
     the reference's clamp-then-wrap lookup semantics
@@ -313,7 +326,7 @@ def _make_cellstate_kernel(n, zext, nq, x_words=None):
     lookups take absolute target coords — a 6-face-neighbour mask cannot
     express them.
     """
-    _, _, fetch_multi = _make_traversal(n, zext, 0, x_words)
+    _, _, fetch_multi = _make_traversal(n, zext, 0, x_words, sub=sub)
     assert zext // 8 <= 32, "group bitmask is 32-bit (zext ≤ 256)"
 
     def kernel(zrange, *refs):
@@ -324,7 +337,7 @@ def _make_cellstate_kernel(n, zext, nq, x_words=None):
         x0w = zrange[3] if x_words is not None else None
         zmin_c, zmax_c = zrange[0], zrange[1]  # occupied columns, slab-local
         qs = []
-        gm = jnp.zeros((SUB, LANE), _I32)
+        gm = jnp.zeros((sub, LANE), _I32)
         for i in range(nq):
             cx_in, cy_in, cz_in, act_in = ins[4 * i : 4 * i + 4]
             act = act_in[:] == 1
@@ -350,7 +363,7 @@ def _make_cellstate_kernel(n, zext, nq, x_words=None):
         gmask = _or_fold_scalar(gm)
 
         for i in range(nq):
-            outs[i][:] = jnp.zeros((SUB, LANE), _I32)
+            outs[i][:] = jnp.zeros((sub, LANE), _I32)
         for c8 in range(zext // 8):
             bit = jax.lax.shift_left(jnp.int32(1), jnp.int32(c8))
             gate = (
@@ -384,9 +397,12 @@ def cell_state_batch(queries, prepped, *, grid_size, width, height,
     ``queries``: list of (coords [H, W, 3] int32 (pre-clamped ≥ 0),
     active [H, W] bool).  Returns one int32 [H, W] state image per query
     with the reference's clamp-then-wrap addressing.  All queries run in
-    ONE kernel launch per brick (grid = tiles, every query served per
-    instance so the plane row loads are shared); states OR over bricks
-    (cells outside a brick contribute 0).
+    ONE kernel launch per brick (every query served per instance so the
+    plane row loads are shared); states OR over bricks (cells outside a
+    brick contribute 0).  The launch grid partitions each (SUB, LANE)
+    screen tile into (CS_SUB, LANE) strips — same blocked arrays, finer
+    instances — so the per-instance z-group bitmask stays tight (see
+    _make_cellstate_kernel).
     """
     n = grid_size
     nbx = pl.cdiv(width, BW)
@@ -394,7 +410,9 @@ def cell_state_batch(queries, prepped, *, grid_size, width, height,
     tiles = nbx * nby
     nq = len(queries)
     blk_i32 = jax.ShapeDtypeStruct((tiles * SUB, LANE), jnp.int32)
-    tile_spec = pl.BlockSpec((SUB, LANE), lambda t: (t, 0))
+    cs_sub = CS_SUB
+    grid_n = tiles * (SUB // cs_sub)
+    tile_spec = pl.BlockSpec((cs_sub, LANE), lambda t: (t, 0))
 
     args = []
     for coords, active in queries:
@@ -407,12 +425,12 @@ def cell_state_batch(queries, prepped, *, grid_size, width, height,
 
     states = [jnp.zeros((tiles * SUB, LANE), jnp.int32) for _ in range(nq)]
     for group in prepped:
-        kernel = _make_cellstate_kernel(n, group.zext, nq, group.xw)
+        kernel = _make_cellstate_kernel(n, group.zext, nq, group.xw, cs_sub)
 
         def call(vol2d, col, c2, zrange, kernel=kernel):
             return pl.pallas_call(
                 kernel,
-                grid=(tiles,),
+                grid=(grid_n,),
                 out_shape=[blk_i32] * nq,
                 in_specs=(
                     [pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -769,17 +787,26 @@ def indirect_bounce(vol, cam, q, origin, coords, found, prepped, *,
             base_reflectivity=cam[P_REFL : P_REFL + 3],
         )
 
+    def _select_by_face(table, face):
+        """``table[face]`` for a tiny [6, 3] table and a per-pixel face
+        image — as a 6-way select chain, NOT ``jnp.take``: an XLA gather
+        indexed by 2M pixel rows costs ~3.8 ms/frame at 1080p (traced,
+        `fusion.172` + its S(1) copy), while the selects fuse to
+        elementwise for free."""
+        out = jnp.zeros(face.shape + (3,), table.dtype)
+        for f in range(6):
+            out = jnp.where((face == f)[..., None], table[f], out)
+        return out
+
     def slot_offsets(face):
         """Per-slot [H, W, 3] target offsets: all 4 (static mode) or the
         one traced ``slot`` (temporal mode)."""
         if slot is None:
-            return [
-                jnp.take(layers[:, i, :], face, axis=0) for i in range(4)
-            ]
+            return [_select_by_face(layers[:, i, :], face) for i in range(4)]
         lay = jax.lax.dynamic_index_in_dim(
             layers, slot, axis=1, keepdims=False
         )  # [6, 3]
-        return [jnp.take(lay, face, axis=0)]
+        return [_select_by_face(lay, face)]
 
     def indirect_from(point, porigin, pcoords, viewer, active, depth_left):
         face = _face_index(cube_face_normal(point, porigin))

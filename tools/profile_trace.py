@@ -9,6 +9,7 @@ Writes a TensorBoard-loadable trace to --out (default /tmp/ca3d_trace)
 and prints the top device ops if the trace protos are readable.
 
 Usage: python tools/profile_trace.py [--out DIR] [--frames K]
+                                     [--mode headline|gi_temporal|gi]
 """
 
 import argparse
@@ -43,6 +44,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/ca3d_trace")
     ap.add_argument("--frames", type=int, default=10)
+    ap.add_argument("--mode", default="headline",
+                    choices=("headline", "gi_temporal", "gi"))
     args = ap.parse_args()
 
     spec = ca.AutomatonSpec.from_config(ca.EngineConfig(grid_size=GRID))
@@ -64,8 +67,14 @@ def main():
         light_magnitude=jnp.float32(5.0),
         show_depth_overlay=jnp.float32(0.0),
     )
+    lighting = {}
+    if args.mode == "gi_temporal":
+        lighting = dict(indirect_lighting=True, soft_shadow_samples=4,
+                        gi_temporal=True)
+    elif args.mode == "gi":
+        lighting = dict(indirect_lighting=True, soft_shadow_samples=4)
     s = RenderStatic(width=WIDTH, height=HEIGHT, grid_size=GRID,
-                     depth_samples=35, shadow_samples=30)
+                     depth_samples=35, shadow_samples=30, **lighting)
     run = RFW.make_fused_loop(s, spec, args.frames)
     hist = RFW.init_fast_history(WIDTH, HEIGHT)
     st, hist, frame = run(state + 0, params, hist)  # compile + warm
