@@ -23,10 +23,23 @@ Prints exactly ONE JSON line.
 """
 
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+_T0 = time.time()
+
+
+def _stage(msg: str) -> None:
+    """Progress marker on stderr (stdout carries exactly one JSON line).
+
+    The axon transport can take minutes to grant the device claim and to
+    remote-compile the fused loop; these markers make a slow run
+    attributable (claim vs compile vs run) without touching stdout.
+    """
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 # The sitecustomize imports jax before this script runs, so the cache
 # env var would be read too late — set the config directly.
@@ -74,10 +87,13 @@ def _params():
 
 
 def main():
+    _stage("importing done; first device op (claims the TPU)...")
     spec = ca.AutomatonSpec.from_config(ca.EngineConfig(grid_size=GRID))
     state = jnp.asarray(ca.pack_grid(ca.seed_center(GRID)))
+    _stage("device claimed; compiling 80-step warmup...")
     state = make_multi_step(spec, 80)(state)  # representative scene
     device_sync(state)
+    _stage("warmup scene ready; compiling fused K-frame loop...")
 
     s = RenderStatic(width=WIDTH, height=HEIGHT, grid_size=GRID,
                      depth_samples=35, shadow_samples=30)
@@ -88,6 +104,7 @@ def main():
         hist = RFW.init_fast_history(WIDTH, HEIGHT)
         st, hist, frame = run(state + 0, params, hist)  # compile + warm
         device_sync(frame)
+        _stage("fused loop compiled + warmed; timing...")
         hist = RFW.init_fast_history(WIDTH, HEIGHT)
         t0 = time.perf_counter()
         st, hist, frame = run(state + 0, params, hist)
@@ -95,6 +112,7 @@ def main():
         return (time.perf_counter() - t0) * 1000.0 / K
 
     combined_ms = timed_loop()
+    _stage(f"combined = {combined_ms:.3f} ms/frame; timing CA step alone...")
 
     # CA step throughput alone (fused loop).
     run_steps = make_multi_step(spec, 1000)
