@@ -607,22 +607,114 @@ class Engine:
         return eng
 
 
+def _build_mesh_fused_loop(self, frames: int, steps_per_frame: int = 1):
+    """Fused production loop INSIDE ``shard_map`` (config 5): ``frames``
+    iterations of (sharded CA step with ICI halo exchange + row-sharded
+    frame) chained in one on-device ``fori_loop`` — per-frame host
+    dispatches (30-60 ms each on this transport) drop to one per loop.
+    Static camera; history stays row-local (row0-offset temporal EMA,
+    exactly the per-frame mesh render's semantics)."""
+    import dataclasses as _dc
+
+    from jax.sharding import PartitionSpec as P
+
+    from .parallel.sharded import (
+        AXIS,
+        AXIS_Y,
+        _local_step_binary,
+        _local_step_multistate,
+    )
+
+    mesh = self.mesh
+    ndev = mesh.devices.size
+    two_d = AXIS_Y in mesh.axis_names
+    my = mesh.shape[AXIS_Y] if two_d else 1
+    s = self.render_static
+    s_local = _dc.replace(s, height=s.height // ndev)
+    multistate = self.spec.total_states > 2
+    spec = self.spec
+    h_local = s.height // ndev
+    local_step = _local_step_multistate if multistate else _local_step_binary
+
+    def local_loop(state_local, params, hcolor, hidx):
+        zax = 2 if multistate else 1
+        flat_idx = jax.lax.axis_index(AXIS)
+        if two_d:
+            flat_idx = flat_idx * my + jax.lax.axis_index(AXIS_Y)
+        row0 = (flat_idx * h_local).astype(jnp.float32)
+        zero_frame = jnp.zeros((h_local, s.width, 3), jnp.float32)
+
+        def body(i, carry):
+            st, hc, hi, _ = carry
+            for _ in range(steps_per_frame):
+                st = local_step(st, spec, two_d)
+            gathered = st
+            if two_d:
+                gathered = jax.lax.all_gather(
+                    gathered, AXIS_Y, axis=zax + 1, tiled=True
+                )
+            gathered = jax.lax.all_gather(gathered, AXIS, axis=zax, tiled=True)
+            if multistate:
+                vis = gathered[0]
+                for b in range(1, gathered.shape[0]):
+                    vis = vis | gathered[b]
+                ages = gathered
+            else:
+                vis, ages = gathered, None
+            frame, _, hist = render_frame_fast(
+                s_local, vis, params, FastHistory(hc, hi), True,
+                ages, spec.total_states, row0, s.height,
+                i.astype(jnp.int32) if s.gi_temporal else None,
+            )
+            return st, hist.color, hist.hit_idx, frame
+
+        return jax.lax.fori_loop(
+            0, frames, body, (state_local, hcolor, hidx, zero_frame)
+        )
+
+    rows = (AXIS, AXIS_Y) if two_d else AXIS
+    y = AXIS_Y if two_d else None
+    state_spec = P(None, None, AXIS, y) if multistate else P(None, AXIS, y)
+    sm = jax.shard_map(
+        local_loop,
+        mesh=mesh,
+        in_specs=(state_spec, P(), P(rows, None, None), P(rows, None)),
+        out_specs=(
+            state_spec, P(rows, None, None), P(rows, None),
+            P(rows, None, None),
+        ),
+        # As in _build_mesh_render: pallas out_shapes carry no
+        # varying-mesh-axes metadata; shardings are explicit.
+        check_vma=False,
+    )
+    return jax.jit(sm)
+
+
+Engine._build_mesh_fused_loop = _build_mesh_fused_loop
+
+
 def _engine_run_fused(self, frames: int, steps_per_frame: int = 1):
     """Run (steps_per_frame CA steps + 1 frame) × frames fully on device
-    (fast pipeline, static camera).  Returns the last frame."""
+    (fast pipeline, static camera).  Returns the last frame.  Mesh
+    engines run the loop inside ``shard_map`` (_build_mesh_fused_loop)."""
     if self.config.pipeline != "fast":
         raise ValueError("run_fused requires the fast pipeline")
-    if self.mesh is not None:
-        raise ValueError(
-            "run_fused is single-device; mesh engines tick via run()"
-        )
-    from .render.renderer_fast import make_fused_loop
-
-    run = make_fused_loop(
-        self.render_static, self.spec, frames, steps_per_frame
-    )
     params = self.render_params()
-    self.state, self.history, frame = run(self.state, params, self.history)
+    if self.mesh is not None:
+        run = self._build_mesh_fused_loop(frames, steps_per_frame)
+        self.state, hcolor, hidx, frame = run(
+            self.state, params, self.history.color, self.history.hit_idx
+        )
+        self.history = FastHistory(color=hcolor, hit_idx=hidx)
+    else:
+        from .render.renderer_fast import make_fused_loop
+
+        run = make_fused_loop(
+            self.render_static, self.spec, frames, steps_per_frame
+        )
+        self.state, self.history, frame = run(
+            self.state, params, self.history
+        )
     self.simulation_step += frames * steps_per_frame
     self._time_ms += frames * 16.667
     self.camera.end_frame()

@@ -1330,7 +1330,7 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
     jax.jit,
     static_argnames=(
         "grid_size", "width", "height", "shadow", "interpret", "total_states",
-        "_column_dilate", "_debug_no_sweep", "use_prepass",
+        "_column_dilate", "_debug_no_sweep", "use_prepass", "return_blocked",
     ),
 )
 def raytrace_tiles(
@@ -1354,6 +1354,10 @@ def raytrace_tiles(
                                     # looser than per-ray probes, which
                                     # triggers ~2.6 ms of extra fine descent
                                     # at 256³/1080p.  Kept for sparse scenes.
+    return_blocked: bool = False,   # skip the image-layout conversion:
+                                    # return (rgb [T·SUB, LANE, 3], depth,
+                                    # idx) tile-blocked — the extended-
+                                    # lighting loop stays blocked end to end.
 ):
     """Trace all pixels: (light_rgb [H,W,3], depth [H,W], hit_idx [H,W]).
 
@@ -1526,6 +1530,8 @@ def raytrace_tiles(
     if compose:
         return outs  # blocked (see docstring)
     r, g, b, depth, idx = outs
+    if return_blocked:
+        return jnp.stack([r, g, b], axis=-1), depth, idx
 
     def unflat(x):
         return _from_blocks(x, width, height)

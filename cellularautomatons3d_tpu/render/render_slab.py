@@ -174,6 +174,55 @@ def brick_layout(n: int, slab_planes: int | None = None,
     )
 
 
+def _brick_nonempty(zrange):
+    """Scalar: the brick's occupancy z-range is non-inverted (any live
+    cell).  Empty bricks contribute nothing to any pass — min-t, OR and
+    state composites are all neutral for them — so their kernel launch
+    is skipped with ``lax.cond`` (at 1024³ a center-seeded scene
+    occupies 2-4 of 16 bricks; the other launches were pure fixed
+    cost)."""
+    return zrange[0] <= zrange[1]
+
+
+def _brick_visible(cam, zrange, zext, xw, n):
+    """Conservative frustum test of a brick's world AABB (primary pass
+    only — occlusion rays run outside the view frustum).  Skips the
+    brick iff ALL 8 corners lie outside one frustum plane in camera
+    space (the standard conservative AABB-vs-frustum test; mixed-sign
+    z corners stay 'maybe visible').  Exact for the composite: a
+    culled brick can contain no primary hit, because every primary ray
+    segment lies inside the frustum pyramid."""
+    z0 = zrange[2].astype(_F32)
+    if xw is not None:
+        x0 = (zrange[3] * 32).astype(_F32)
+        x1 = x0 + xw * 32
+    else:
+        x0, x1 = jnp.float32(0.0), jnp.float32(n)
+    inv_n = 1.0 / n
+    xs = jnp.stack([x0 * inv_n - 0.5, x1 * inv_n - 0.5])
+    zs = jnp.stack([z0 * inv_n - 0.5, (z0 + zext) * inv_n - 0.5])
+    ys = jnp.asarray([-0.5, 0.5], _F32)
+    cx, cy, cz = jnp.meshgrid(xs, ys, zs, indexing="ij")
+    corners = jnp.stack(
+        [cx.reshape(-1), cy.reshape(-1), cz.reshape(-1)], axis=-1
+    )  # [8, 3] world
+    o = cam[P_O : P_O + 3]
+    rot = jnp.stack(
+        [cam[P_R00 : P_R00 + 3], cam[P_R00 + 3 : P_R00 + 6],
+         cam[P_R00 + 6 : P_R00 + 9]]
+    )  # camera→world; camera space = rotᵀ · (p − o)
+    pc = (corners - o) @ rot  # [8, 3] camera space (forward = −z)
+    tan_y = 1.0 / COT_HALF_FOV
+    tan_x = (cam[P_WIN] / cam[P_WIN + 1]) * tan_y
+    x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
+    behind = jnp.all(z > 0.0)
+    out_r = jnp.all(x + tan_x * z > 0.0)
+    out_l = jnp.all(-x + tan_x * z > 0.0)
+    out_t = jnp.all(y + tan_y * z > 0.0)
+    out_b = jnp.all(-y + tan_y * z > 0.0)
+    return ~(behind | out_r | out_l | out_t | out_b)
+
+
 def _pixel_rays_kernel(cam, width, height):
     """Per-pixel camera ray inside a kernel (iotas + SMEM scalars)."""
     t = pl.program_id(0)
@@ -265,29 +314,252 @@ def _make_primary_kernel(n, zext, width, height, age_bits, x_words=None):
     return kernel
 
 
-def _make_shadow_kernel(n, zext, x_words=None):
-    sweep, _, _ = _make_traversal(n, zext, 0, x_words)
-    inv_n = 1.0 / n
+def _make_shadow_kernel(n, zext, nq=1, x_words=None):
+    """Multi-query occlusion sweep: ONE kernel instance per screen tile
+    serves all ``nq`` shadow-ray queries of that tile's pixels.
 
-    # No mip1 prefilter here: occlusion launches are BATCHED (soft shadows,
-    # GI slots — recursive GI traces ~4^b sweeps in one jit) and the
-    # prefilter doubles each sweep's traced graph, which pushed the
-    # two-bounce XLA program past reasonable compile bounds.
-    def kernel(cam, zrange, sx, sy, sz, dx, dy, dz, t1, exx, exy, exz, act,
-               vol, coarse, coarse2, out_occ,
-               f_b, t_b, hx_b, hy_b, hz_b,
-               r_ox, r_oy, r_oz, r_dx, r_dy, r_dz, r_t0, r_t1, r_flags):
-        rayrefs = (r_ox, r_oy, r_oz, r_dx, r_dy, r_dz, r_t0, r_t1, r_flags)
+    This is the round-3 cellstate trick (`_make_cellstate_kernel`)
+    applied to the occlusion sweeps, which dominated the full-quality GI
+    frame (~8 secondary sweeps × ~4.1 ms, each running the complete
+    coarse→fine traversal machinery independently).  Shared across
+    queries per tile:
+
+    * the fixed traversal machinery — group/column scalar gates, OR-fold
+      reductions and `pl.when` regions run ONCE per tile instead of once
+      per query (the ablated no-sweep floor put ~3.4 ms/sweep on exactly
+      this machinery);
+    * each executed plane's packed-word row loads
+      (`fetch_fine_bits_multi`): GI-slot and soft-shadow rays of one
+      pixel all run from ~the hit surface toward ~the light, so their
+      plane sets nearly coincide and the row loads amortize nq×;
+    * the coarse/supercolumn row broadcasts of the column gates.
+
+    Per-query state (origin, direction, t-range, exclusion id, found)
+    lives in the stacked input/scratch blocks — query q owns sublane
+    rows [q·SUB, (q+1)·SUB).  A column executes when ANY query's probes
+    flag it; per-query ``seg_ok`` masks keep exactness unchanged.
+    Exclusion uses the packed-id form (render_fast.sweep's probe_fine:
+    out-of-range excluded coords — the reference's clamp quirk can
+    yield x == n — produce ids no probe cell can match).
+    """
+    _, _, fetch_multi = _make_traversal(n, zext, 0, x_words)
+    w_words = n // 32
+    chunk_words = w_words if x_words is None else x_words
+    chunked = chunk_words < w_words
+    nbk = n // 8
+    ncy = n // 8
+    nc = zext // 8
+    inv_n = 1.0 / n
+    half = 0.5
+    GROUP = 4
+
+    from .render_fast import _bcast_row, _fetch_coarse_bit_impl
+
+    def kernel(cam, zrange, sx, sy, sz, dx, dy, dz, t1, exid, act,
+               vol, coarse, coarse2, out_occ, found_ref):
         cell_half = inv_n * cam[P_CELLMUL] * 0.5
-        _store_ray(
-            rayrefs, sx[:], sy[:], sz[:], dx[:], dy[:], dz[:],
-            jnp.zeros((SUB, LANE), _F32), t1[:], act[:] == 1,
-        )
-        occluded, _, _, _, _ = sweep(
-            vol, coarse, coarse2, zrange, (f_b, t_b, hx_b, hy_b, hz_b),
-            rayrefs, cell_half, (exx, exy, exz), False,
-        )
-        out_occ[:] = occluded.astype(_I32)
+        z0 = zrange[2]
+        z0f = z0.astype(_F32)
+        if chunked:
+            x0w = zrange[3]
+            x0b = x0w * 4
+        else:
+            x0w = x0b = None
+
+        def fetch_coarse(row_b, bxc, byc, valid):
+            if x0b is None:
+                return _fetch_coarse_bit_impl(row_b, bxc, byc, valid, nbk, ncy)
+            bxl = jnp.clip(bxc - x0b, 0, chunk_words * 4 - 1)
+            byl = jnp.clip(byc, 0, ncy - 1)
+            g = jnp.take_along_axis(row_b, byl, axis=1)
+            bit = jnp.bitwise_and(
+                jax.lax.shift_right_logical(g, bxl.astype(_U32)), _U32(1)
+            )
+            return (bit.astype(_I32) == 1) & valid
+
+        def load_q(q):
+            """Query q's ray, re-read from the input refs (fresh loads in
+            every conditional region — the sweep's no-spill discipline)."""
+            sl = slice(q * SUB, (q + 1) * SUB)
+            dxq, dyq, dzq = dx[sl], dy[sl], dz[sl]
+            adx, ady, adz = jnp.abs(dxq), jnp.abs(dyq), jnp.abs(dzq)
+            steep = (adx > 2.0 * adz) | (ady > 2.0 * adz)
+            return (
+                sx[sl], sy[sl], sz[sl], dxq, dyq, dzq, t1[sl],
+                act[sl] == 1, steep,
+            )
+
+        def pass_act(ray, direction):
+            return ray[7] & ((ray[5] > 0) if direction > 0 else (ray[5] < 0))
+
+        found_ref[:] = jnp.zeros((nq * SUB, LANE), _I32)
+
+        # Start-column gating over ALL queries (sweep's smin_c/smax_c):
+        # columns entirely behind every query's start along the pass
+        # direction can never produce a hit.
+        actv = act[:] == 1
+        ozv = sz[:]
+        big = jnp.float32(1e9)
+        start_gz = jnp.floor((jnp.where(actv, ozv, big).min() + half) * n)
+        smin_c = start_gz.astype(_I32) // 8 - z0 // 8 - 1
+        end_gz = jnp.floor((jnp.where(actv, ozv, -big).max() + half) * n)
+        smax_c = end_gz.astype(_I32) // 8 - z0 // 8 + 1
+
+        def col_seg(c_plane, ray, pass_active, foundq):
+            """Column segment overlap for one query (t ∈ [0, t1])."""
+            oz, dzq, t1q = ray[2], ray[5], ray[6]
+            inv_dz = 1.0 / dzq
+            gz = z0f + c_plane * 8
+            ta = (gz * inv_n - half - oz) * inv_dz
+            tb = ((gz + 8.0) * inv_n - half - oz) * inv_dz
+            lo = jnp.maximum(jnp.minimum(ta, tb), 0.0)
+            hi = jnp.minimum(jnp.maximum(ta, tb), t1q)
+            return (lo < hi) & ~foundq & pass_active, lo, hi
+
+        def probe_plane(k_plane, direction):
+            """One fine plane, all queries: per-query geometry, ONE
+            shared fetch over the packed-word rows."""
+            geo = []
+            for q in range(nq):
+                ray = load_q(q)
+                pa = pass_act(ray, direction)
+                foundq = found_ref[q * SUB : (q + 1) * SUB] == 1
+                ox, oy, oz, dxq, dyq, dzq, t1q = ray[:7]
+                inv_dz = 1.0 / dzq
+                gzf = z0f + k_plane
+                ta = (gzf * inv_n - half - oz) * inv_dz
+                tb = ((gzf + 1.0) * inv_n - half - oz) * inv_dz
+                lo = jnp.maximum(jnp.minimum(ta, tb), 0.0)
+                hi = jnp.minimum(jnp.maximum(ta, tb), t1q)
+                seg_ok = (lo < hi) & ~foundq & pa
+                tm = 0.5 * (lo + hi)
+                cx = jnp.clip(
+                    jnp.floor((ox + tm * dxq + half) * n), 0, n - 1
+                ).astype(_I32)
+                cy = jnp.clip(
+                    jnp.floor((oy + tm * dyq + half) * n), 0, n - 1
+                ).astype(_I32)
+                geo.append((seg_ok, cx, cy, ray))
+            bits = fetch_multi(
+                vol, k_plane, [(cx, cy) for _, cx, cy, _ in geo], x0w
+            )
+            gz_i = z0 + k_plane
+            gzf = z0f + k_plane
+            for q, ((seg_ok, cx, cy, ray), bit) in enumerate(zip(geo, bits)):
+                sl = slice(q * SUB, (q + 1) * SUB)
+                ox, oy, oz, dxq, dyq, dzq = ray[:6]
+                cand = (
+                    seg_ok
+                    & (bit == 1)
+                    & ~((cx + cy * n + gz_i * (n * n)) == exid[sl])
+                )
+                # Visible-cube intersection, shadow accept rule
+                # (wgsl:669: tn ≤ tf ∧ tn ≥ 0).
+                inv_dx = 1.0 / dxq
+                inv_dy = 1.0 / dyq
+                inv_dz = 1.0 / dzq
+                ccx = (cx.astype(_F32) + 0.5) * inv_n - half
+                ccy = (cy.astype(_F32) + 0.5) * inv_n - half
+                ccz = (gzf + 0.5) * inv_n - half
+                t1x = (ccx - cell_half - ox) * inv_dx
+                t2x = (ccx + cell_half - ox) * inv_dx
+                t1y = (ccy - cell_half - oy) * inv_dy
+                t2y = (ccy + cell_half - oy) * inv_dy
+                t1z = (ccz - cell_half - oz) * inv_dz
+                t2z = (ccz + cell_half - oz) * inv_dz
+                tn = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                    jnp.minimum(t1z, t2z),
+                )
+                tf = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                    jnp.maximum(t1z, t2z),
+                )
+                hit = cand & (tn <= tf) & (tn >= 0.0)
+                found_ref[sl] = jnp.where(hit, 1, found_ref[sl])
+
+        for direction in (1, -1):
+            for g0 in range(0, nc, GROUP):
+                cols = [
+                    (g0 + j) if direction > 0 else (nc - 1 - (g0 + j))
+                    for j in range(GROUP)
+                ]
+                lo_c, hi_c = min(cols), max(cols)
+                gate = (zrange[1] >= lo_c) & (zrange[0] <= hi_c)
+                gate = gate & (
+                    (hi_c >= smin_c) if direction > 0 else (lo_c <= smax_c)
+                )
+
+                @pl.when(gate)
+                def _(cols=cols, lo_c=lo_c, hi_c=hi_c, direction=direction):
+                    # Supercolumn gate over the 4-column span, folded
+                    # across every query (3 probes each on the shared,
+                    # dilated coarse2 row).
+                    row2 = _bcast_row(coarse2[lo_c // 4 : lo_c // 4 + 1, :])
+                    desc = jnp.zeros((SUB, LANE), _I32)
+                    for q in range(nq):
+                        ray = load_q(q)
+                        pa = pass_act(ray, direction)
+                        foundq = found_ref[q * SUB : (q + 1) * SUB] == 1
+                        ox, oy, oz, dxq, dyq, dzq, t1q = ray[:7]
+                        steep = ray[8]
+                        inv_dz = 1.0 / dzq
+                        ta = ((z0f + lo_c * 8) * inv_n - half - oz) * inv_dz
+                        tb = (
+                            (z0f + hi_c * 8 + 8) * inv_n - half - oz
+                        ) * inv_dz
+                        lo_t = jnp.maximum(jnp.minimum(ta, tb), 0.0)
+                        hi_t = jnp.minimum(jnp.maximum(ta, tb), t1q)
+                        seg2 = (lo_t < hi_t) & ~foundq & pa
+                        occ2 = steep & seg2
+                        for tp in (lo_t, 0.5 * (lo_t + hi_t), hi_t):
+                            bxc = jnp.floor(
+                                (ox + tp * dxq + half) * nbk
+                            ).astype(_I32)
+                            byc = jnp.floor(
+                                (oy + tp * dyq + half) * nbk
+                            ).astype(_I32)
+                            occ2 = occ2 | fetch_coarse(row2, bxc, byc, seg2)
+                        desc = desc | occ2.astype(_I32)
+                    sdesc = _or_fold_scalar(desc)
+
+                    @pl.when(sdesc != 0)
+                    def _(cols=cols, direction=direction):
+                        # Per-column candidates, all queries, ONE fold.
+                        gmask_v = jnp.zeros((SUB, LANE), _I32)
+                        for j, c in enumerate(cols):
+                            row_b = _bcast_row(coarse[c : c + 1, :])
+                            for q in range(nq):
+                                ray = load_q(q)
+                                pa = pass_act(ray, direction)
+                                foundq = (
+                                    found_ref[q * SUB : (q + 1) * SUB] == 1
+                                )
+                                seg_ok, lo, hi = col_seg(c, ray, pa, foundq)
+                                occ = ray[8] & seg_ok
+                                for tp in (lo, 0.5 * (lo + hi), hi):
+                                    bxc = jnp.floor(
+                                        (ray[0] + tp * ray[3] + half) * nbk
+                                    ).astype(_I32)
+                                    byc = jnp.floor(
+                                        (ray[1] + tp * ray[4] + half) * nbk
+                                    ).astype(_I32)
+                                    occ = occ | fetch_coarse(
+                                        row_b, bxc, byc, seg_ok
+                                    )
+                                gmask_v = gmask_v | jnp.where(
+                                    occ, _I32(1 << j), _I32(0)
+                                )
+                        gmask = _or_fold_scalar(gmask_v)
+                        for j, c_plane in enumerate(cols):
+
+                            @pl.when(((gmask >> j) & 1) != 0)
+                            def _(c_plane=c_plane, direction=direction):
+                                for f in range(8):
+                                    fo = f if direction > 0 else 7 - f
+                                    probe_plane(c_plane * 8 + fo, direction)
+
+        out_occ[:] = found_ref[:]
 
     return kernel
 
@@ -391,7 +663,7 @@ def _make_cellstate_kernel(n, zext, nq, x_words=None, sub=SUB):
 
 
 def cell_state_batch(queries, prepped, *, grid_size, width, height,
-                     interpret=False):
+                     interpret=False, blocked=False):
     """Cell states for a batch of per-pixel coordinate queries.
 
     ``queries``: list of (coords [H, W, 3] int32 (pre-clamped ≥ 0),
@@ -414,13 +686,20 @@ def cell_state_batch(queries, prepped, *, grid_size, width, height,
     grid_n = tiles * (SUB // cs_sub)
     tile_spec = pl.BlockSpec((cs_sub, LANE), lambda t: (t, 0))
 
+    if blocked:
+        def tb(x):
+            return x
+    else:
+        def tb(x):
+            return _to_blocks(x, width, height)
+
     args = []
     for coords, active in queries:
         args += [
-            _to_blocks(coords[..., 0], width, height),
-            _to_blocks(coords[..., 1], width, height),
-            _to_blocks(coords[..., 2], width, height),
-            _to_blocks(active.astype(jnp.int32), width, height),
+            tb(coords[..., 0]),
+            tb(coords[..., 1]),
+            tb(coords[..., 2]),
+            tb(active.astype(jnp.int32)),
         ]
 
     states = [jnp.zeros((tiles * SUB, LANE), jnp.int32) for _ in range(nq)]
@@ -428,24 +707,38 @@ def cell_state_batch(queries, prepped, *, grid_size, width, height,
         kernel = _make_cellstate_kernel(n, group.zext, nq, group.xw, cs_sub)
 
         def call(vol2d, col, c2, zrange, kernel=kernel):
-            return pl.pallas_call(
-                kernel,
-                grid=(grid_n,),
-                out_shape=[blk_i32] * nq,
-                in_specs=(
-                    [pl.BlockSpec(memory_space=pltpu.SMEM)]
-                    + [tile_spec] * (4 * nq)
-                    + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+            def run():
+                return tuple(
+                    pl.pallas_call(
+                        kernel,
+                        grid=(grid_n,),
+                        out_shape=[blk_i32] * nq,
+                        in_specs=(
+                            [pl.BlockSpec(memory_space=pltpu.SMEM)]
+                            + [tile_spec] * (4 * nq)
+                            + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+                        ),
+                        out_specs=[tile_spec] * nq,
+                        interpret=interpret,
+                        compiler_params=_SLAB_PARAMS,
+                    )(zrange, *args, vol2d)
+                )
+
+            # Empty bricks hold no set state bits (OR-neutral) — skip.
+            return jax.lax.cond(
+                _brick_nonempty(zrange), run,
+                lambda: tuple(
+                    jnp.zeros((tiles * SUB, LANE), jnp.int32)
+                    for _ in range(nq)
                 ),
-                out_specs=[tile_spec] * nq,
-                interpret=interpret,
-                compiler_params=_SLAB_PARAMS,
-            )(zrange, *args, vol2d)
+            )
 
         states = _scan_bricks(
             group, call,
             lambda a, st: [x | y for x, y in zip(a, st)], states,
         )
+    if blocked:
+        return states
     return [_from_blocks(s, width, height) for s in states]
 
 
@@ -582,14 +875,17 @@ def prep_slabs(vol, bricks, grid_size, x_words=None):
 
 
 def shadow_occlusion_batch(cam, queries, prepped, *, grid_size, width,
-                           height, interpret=False):
+                           height, interpret=False, blocked=False):
     """Cell-exact occlusion for a BATCH of per-pixel ray queries.
 
     ``queries``: list of (start [H,W,3], target [H,W,3], excl [H,W,3] int,
     active [H,W] bool) — e.g. the k jittered soft-shadow samples, or the
     4 indirect-bounce slots.  All queries run in ONE kernel launch per
-    slab (grid = len(queries)·tiles): batching amortizes the launch and
-    the per-sweep fixed machinery that dominated per-query launches.
+    slab with every query served per tile INSTANCE (_make_shadow_kernel):
+    the traversal machinery and plane row loads are shared across
+    queries, which is what cut the full-GI frame's 8 independent
+    secondary sweeps down to two shared traversals.  Inputs stack
+    tile-major (tile t's block holds its nq query slabs contiguously).
     Returns list of bool [H, W] occlusion masks (ORed over slabs).
     """
     n = grid_size
@@ -597,68 +893,85 @@ def shadow_occlusion_batch(cam, queries, prepped, *, grid_size, width,
     nby = pl.cdiv(height, BH)
     tiles = nbx * nby
     nq = len(queries)
-    blk_i32 = jax.ShapeDtypeStruct((nq * tiles * SUB, LANE), jnp.int32)
-    out_spec = pl.BlockSpec((SUB, LANE), lambda t: (t, 0))
-    ray_scratch = [
-        pltpu.VMEM((SUB, LANE), jnp.float32) for _ in range(8)
-    ] + [pltpu.VMEM((SUB, LANE), jnp.int32)]  # r_flags
+    blk_i32 = jax.ShapeDtypeStruct((tiles * nq * SUB, LANE), jnp.int32)
+    qblock = pl.BlockSpec((nq * SUB, LANE), lambda t: (t, 0))
 
-    cols = [[] for _ in range(11)]
+    if blocked:
+        # Inputs are already tile-blocked [T·SUB, LANE(,3)]; direction
+        # components with 0 denominators only occur on inactive lanes
+        # (padded pixels carry real-but-unused geometry there).
+        def tb(x, fill=0):
+            return x
+    else:
+        def tb(x, fill=0):
+            return _to_blocks(x, width, height, fill=fill)
+
+    cols = [[] for _ in range(9)]
     for start, target, excl, active in queries:
         sd = target - start
         sd = sd * jax.lax.rsqrt(jnp.sum(sd * sd, axis=-1, keepdims=True))
         e1 = (-0.5 - start) / sd
         e2 = (0.5 - start) / sd
         sh_tf = jnp.min(jnp.maximum(e1, e2), axis=-1)
+        exid = excl[..., 0] + excl[..., 1] * n + excl[..., 2] * (n * n)
         parts = [
-            _to_blocks(start[..., 0], width, height),
-            _to_blocks(start[..., 1], width, height),
-            _to_blocks(start[..., 2], width, height),
-            _to_blocks(sd[..., 0], width, height, fill=1),
-            _to_blocks(sd[..., 1], width, height, fill=1),
-            _to_blocks(sd[..., 2], width, height, fill=1),
-            _to_blocks(sh_tf, width, height),
-            _to_blocks(excl[..., 0], width, height),
-            _to_blocks(excl[..., 1], width, height),
-            _to_blocks(excl[..., 2], width, height),
-            _to_blocks(active.astype(jnp.int32), width, height),
+            tb(start[..., 0]),
+            tb(start[..., 1]),
+            tb(start[..., 2]),
+            tb(sd[..., 0], fill=1),
+            tb(sd[..., 1], fill=1),
+            tb(sd[..., 2], fill=1),
+            tb(sh_tf),
+            tb(exid, fill=-1),
+            tb(active.astype(jnp.int32)),
         ]
         for c, p in zip(cols, parts):
             c.append(p)
-    args = [jnp.concatenate(c, axis=0) for c in cols]
 
-    occluded = jnp.zeros((nq * tiles * SUB, LANE), jnp.int32)
+    def interleave(xs):
+        a = jnp.stack(xs).reshape(nq, tiles, SUB, LANE)
+        return a.transpose(1, 0, 2, 3).reshape(tiles * nq * SUB, LANE)
+
+    args = [interleave(c) for c in cols]
+
+    occluded = jnp.zeros((tiles * nq * SUB, LANE), jnp.int32)
     for group in prepped:
-        kernel = _make_shadow_kernel(n, group.zext, group.xw)
+        kernel = _make_shadow_kernel(n, group.zext, nq, group.xw)
 
         def call(vol2d, col, c2, zrange, kernel=kernel):
-            return pl.pallas_call(
-                kernel,
-                grid=(nq * tiles,),
-                out_shape=blk_i32,
-                in_specs=(
-                    [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
-                    + [pl.BlockSpec((SUB, LANE), lambda t: (t, 0))] * 11
-                    + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
-                ),
-                out_specs=out_spec,
-                scratch_shapes=[
-                    pltpu.VMEM((SUB, LANE), jnp.int32),
-                    pltpu.VMEM((SUB, LANE), jnp.float32),
-                    pltpu.VMEM((SUB, LANE), jnp.int32),
-                    pltpu.VMEM((SUB, LANE), jnp.int32),
-                    pltpu.VMEM((SUB, LANE), jnp.int32),
-                ] + list(ray_scratch),
-                interpret=interpret,
-                compiler_params=_SLAB_PARAMS,
-            )(cam, zrange, *args, vol2d, col, c2)
+            def run():
+                return pl.pallas_call(
+                    kernel,
+                    grid=(tiles,),
+                    out_shape=blk_i32,
+                    in_specs=(
+                        [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+                        + [qblock] * 9
+                        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+                    ),
+                    out_specs=qblock,
+                    scratch_shapes=[
+                        pltpu.VMEM((nq * SUB, LANE), jnp.int32),  # found_ref
+                    ],
+                    interpret=interpret,
+                    compiler_params=_SLAB_PARAMS,
+                )(cam, zrange, *args, vol2d, col, c2)
+
+            # Empty bricks occlude nothing (OR-neutral) — skip the launch.
+            return jax.lax.cond(
+                _brick_nonempty(zrange), run,
+                lambda: jnp.zeros((tiles * nq * SUB, LANE), jnp.int32),
+            )
 
         occluded = _scan_bricks(group, call, lambda a, occ: a | occ, occluded)
-    per_q = occluded.reshape(nq, tiles * SUB, LANE)
+    per_q = occluded.reshape(tiles, nq, SUB, LANE).transpose(1, 0, 2, 3)
+    per_q = per_q.reshape(nq, tiles * SUB, LANE)
+    if blocked:
+        return [per_q[i] == 1 for i in range(nq)]
     return [_from_blocks(per_q[i], width, height) == 1 for i in range(nq)]
 
 
-def soft_shadow_jitter(cam, kk, width, height, nk=None):
+def soft_shadow_jitter(cam, kk, width, height, nk=None, uv=None):
     """Jittered area-light offset for soft-shadow sample ``kk`` — the
     reference's sin-fract hash over global-window UVs (n1rand,
     wgsl:171-180; renderer.py:218-222).  Returns [H, W, 3].  ``kk`` may
@@ -666,16 +979,22 @@ def soft_shadow_jitter(cam, kk, width, height, nk=None):
     rotates the sample index per frame): the per-sample hash constants
     are then a static f64-rounded table indexed dynamically, so each
     rotated sample is BIT-IDENTICAL to the corresponding static sample
-    (a 1-ulp constant change would decorrelate the sin-fract hash)."""
+    (a 1-ulp constant change would decorrelate the sin-fract hash).
+    ``uv``: optional (ux, uy) pixel-uv arrays of any layout (the blocked
+    pipeline passes tile-blocked uvs; the hash is per-pixel pointwise,
+    so the layout permutes but the values match)."""
     win_w = cam[P_WIN]
     win_h = cam[P_WIN + 1]
-    pxs = jnp.arange(width, dtype=jnp.float32)[None, :]
-    pys = jnp.arange(height, dtype=jnp.float32)[:, None]
-    ux = (pxs + 0.5) / win_w + jnp.zeros((height, 1), jnp.float32)
-    uy = (
-        1.0 - (pys + cam[P_ROW0] + 0.5) / win_h
-        + jnp.zeros((1, width), jnp.float32)
-    )
+    if uv is not None:
+        ux, uy = uv
+    else:
+        pxs = jnp.arange(width, dtype=jnp.float32)[None, :]
+        pys = jnp.arange(height, dtype=jnp.float32)[:, None]
+        ux = (pxs + 0.5) / win_w + jnp.zeros((height, 1), jnp.float32)
+        uy = (
+            1.0 - (pys + cam[P_ROW0] + 0.5) / win_h
+            + jnp.zeros((1, width), jnp.float32)
+        )
     tfrac = cam[P_TIME] - jnp.floor(cam[P_TIME])
 
     def j1(cst):
@@ -862,6 +1181,236 @@ def indirect_bounce(vol, cam, q, origin, coords, found, prepped, *,
     return indirect_from(q, origin, coords, o, found, max(1, int(bounces)))
 
 
+def lighting_passes(cam, q, origin, coords, found, prepped, *,
+                    grid_size, width, height, soft_k=1, jitter_k=None,
+                    gi=False, gi_slot=None, interpret=False,
+                    blocked=False):
+    """Soft-shadow occlusion + one-bounce GI with EVERY occlusion query
+    of the frame batched into ONE multi-query launch.
+
+    The GI slots' occlusion queries depend only on hit geometry (face +
+    layer offset), not on the neighbour's cell state — the state only
+    gates whether the slot CONTRIBUTES.  Hoisting them ahead of the
+    state lookup lets the ``soft_k`` jittered shadow samples and the GI
+    slots share one `_make_shadow_kernel` traversal (its machinery and
+    row loads amortize over all queries); occlusion values on
+    state-rejected lanes are discarded by the same ``ok`` mask the
+    old two-launch path applied.  Covers ``bounces == 1`` (and the
+    temporal single-slot mode); deeper recursion uses
+    ``indirect_bounce`` unchanged.
+
+    Returns ``(occl [H, W] or None, gi_rgb [H, W, 3] or None)``.
+    With ``blocked=True`` every per-pixel input/output is tile-blocked
+    [T·SUB, LANE(, 3)] instead (zero layout conversions end to end; the
+    jitter hash values are pointwise-identical, so the math matches the
+    image-layout path pixel for pixel).
+    """
+    from . import brdf
+    from .intersect import (
+        FULL_CUBE_SIZE,
+        HALF_CUBE_SIZE,
+        cube_face_normal,
+        ray_cube_intersect,
+    )
+    from .renderer import _INDIRECT_LAYERS, _face_index
+
+    n = grid_size
+    light = cam[P_LIGHT : P_LIGHT + 3]
+    o = cam[P_O : P_O + 3]
+    queries = []
+
+    jitter_uv = None
+    if blocked:
+        # Blocked-layout pixel uvs for the jitter hash (pointwise equal
+        # to the image-path uvs).
+        px, py, _ = blocked_pixels(width, height)
+        jitter_uv = (
+            (px.astype(_F32) + 0.5) / cam[P_WIN],
+            1.0 - (py.astype(_F32) + cam[P_ROW0] + 0.5) / cam[P_WIN + 1],
+        )
+
+    # --- soft / hard direct-shadow queries (direct_occlusion semantics) ---
+    n_soft = 0
+    if soft_k is not None:
+        if jitter_k is not None:
+            target = light + soft_shadow_jitter(
+                cam, jitter_k, width, height, nk=max(1, soft_k),
+                uv=jitter_uv,
+            )
+            queries.append((q, target, coords, found))
+            n_soft = 1
+        else:
+            for kk in range(max(1, soft_k)):
+                if soft_k > 1:
+                    target = light + soft_shadow_jitter(
+                        cam, kk, width, height, uv=jitter_uv
+                    )
+                else:
+                    target = jnp.broadcast_to(light, q.shape)
+                queries.append((q, target, coords, found))
+            n_soft = max(1, soft_k)
+
+    # --- GI slot geometry + hoisted occlusion queries ------------------
+    slots = []
+    if gi:
+        cell = jnp.float32(FULL_CUBE_SIZE / n)
+        vis_half = cell * cam[P_CELLMUL] * 0.5
+        layers = jnp.asarray(_INDIRECT_LAYERS)  # [6, 4, 3]
+        face = _face_index(cube_face_normal(q, origin))
+
+        def _select_by_face(table):
+            out = jnp.zeros(face.shape + (3,), table.dtype)
+            for f in range(6):
+                out = jnp.where((face == f)[..., None], table[f], out)
+            return out
+
+        if gi_slot is None:
+            offs = [_select_by_face(layers[:, i, :]) for i in range(4)]
+        else:
+            lay = jax.lax.dynamic_index_in_dim(
+                layers, gi_slot, axis=1, keepdims=False
+            )
+            offs = [_select_by_face(lay)]
+        for off in offs:
+            n_coords = coords + off
+            n_cl = jnp.maximum(n_coords, 0)
+            n_origin = (
+                n_coords.astype(jnp.float32) * cell
+                + cell * 0.5
+                - HALF_CUBE_SIZE
+            )
+            n_dir = off.astype(jnp.float32)  # unnormalized, as in the ref
+            t_near, t_far = ray_cube_intersect(q, n_dir, n_origin, vis_half)
+            ok_geo = found & (t_near <= t_far) & (t_far >= 0.0)
+            n_point = q + n_dir * t_near[..., None]
+            slots.append((n_cl, n_origin, n_point, ok_geo))
+            queries.append(
+                (n_point, jnp.broadcast_to(light, q.shape), n_cl, ok_geo)
+            )
+
+    if not queries:
+        return None, None
+
+    occs = shadow_occlusion_batch(
+        cam, queries, prepped, grid_size=n, width=width, height=height,
+        interpret=interpret, blocked=blocked,
+    )
+
+    occl = None
+    if n_soft:
+        occ_sum = jnp.zeros(found.shape, jnp.float32)
+        for occluded in occs[:n_soft]:
+            occ_sum = occ_sum + jnp.where(
+                occluded, jnp.float32(0.0095), jnp.float32(1.0)
+            )
+        occl = occ_sum / jnp.float32(
+            1 if jitter_k is not None else max(1, soft_k)
+        )
+
+    gi_rgb = None
+    if gi:
+        lmag3 = jnp.broadcast_to(cam[P_LMAG], q.shape)
+        emis = cam[P_EMIS : P_EMIS + 3] * cam[P_EMISS]
+
+        def shade(point, porigin, pcoords, viewer, radiance, light_point):
+            return brdf.calculate_lighting_at(
+                point, porigin, pcoords, viewer, radiance, light_point,
+                grid_size=n, roughness=cam[P_ROUGH],
+                material_color=cam[P_MATC : P_MATC + 3],
+                base_reflectivity=cam[P_REFL : P_REFL + 3],
+            )
+
+        slot_states = cell_state_batch(
+            [(n_cl, ok_geo) for n_cl, _, _, ok_geo in slots], prepped,
+            grid_size=n, width=width, height=height, interpret=interpret,
+            blocked=blocked,
+        )
+        total = jnp.zeros_like(q)
+        for (n_cl, n_origin, n_point, ok_geo), st, occluded in zip(
+            slots, slot_states, occs[n_soft:]
+        ):
+            ok = ok_geo & (st == 1)
+            occ = jnp.where(occluded, jnp.float32(0.0095), jnp.float32(1.0))
+            reflected = occ[..., None] * shade(
+                n_point, n_origin, n_cl, q, lmag3, light
+            ) + emis
+            bounce = shade(q, origin, coords, o, reflected, n_point)
+            total = total + jnp.where(ok[..., None], bounce, 0.0)
+        if gi_slot is not None:
+            total = total * jnp.float32(4.0)  # unbiased 1-of-4 estimator
+        gi_rgb = total
+
+    return occl, gi_rgb
+
+
+def blocked_pixels(width, height):
+    """Per-pixel (px, py, onscreen) in the TILE-BLOCKED layout — the
+    trace-time-constant inverse of ``_to_blocks``'s pixel permutation
+    (matches the kernels' in-register pixel math,
+    render_fast._make_kernel.pixel_rays).  Lets every elementwise stage
+    of the extended-lighting pipeline run directly on blocked arrays:
+    the blocked layout is a pure pixel permutation, so all per-pixel
+    math is layout-agnostic once the coordinates themselves are blocked."""
+    nbx = pl.cdiv(width, BW)
+    nby = pl.cdiv(height, BH)
+    t = jnp.arange(nbx * nby, dtype=jnp.int32)[:, None, None]
+    i = (
+        jnp.arange(SUB, dtype=jnp.int32)[None, :, None] * LANE
+        + jnp.arange(LANE, dtype=jnp.int32)[None, None, :]
+    )
+    px = (t % nbx) * BW + i % BW
+    py = (t // nbx) * BH + i // BW
+    on = (px < width) & (py < height)
+    px = jnp.minimum(px, width - 1)
+    py = jnp.minimum(py, height - 1)
+
+    def rs(a):
+        return a.reshape(nbx * nby * SUB, LANE)
+
+    return rs(px), rs(py), rs(on)
+
+
+def hit_geometry_blocked(cam, idx_blk, t_blk, *, grid_size, width, height):
+    """``hit_geometry`` on tile-blocked inputs/outputs (zero layout
+    conversions; identical formulas on permuted pixels)."""
+    from .intersect import FULL_CUBE_SIZE, HALF_CUBE_SIZE
+
+    n = grid_size
+    px, py, _ = blocked_pixels(width, height)
+    found = idx_blk >= 0
+    win_w = cam[P_WIN]
+    win_h = cam[P_WIN + 1]
+    ux = (px.astype(_F32) + 0.5) / win_w
+    uy = 1.0 - (py.astype(_F32) + cam[P_ROW0] + 0.5) / win_h
+    rx = (ux - 0.5) * (win_w / win_h)
+    ry = uy - 0.5
+    rz = jnp.full_like(rx, -0.5 * COT_HALF_FOV)
+    norm = jax.lax.rsqrt(rx * rx + ry * ry + rz * rz)
+    ray_cam = jnp.stack([rx * norm, ry * norm, rz * norm], axis=-1)
+    rot = jnp.stack(
+        [cam[P_R00 : P_R00 + 3], cam[P_R00 + 3 : P_R00 + 6],
+         cam[P_R00 + 6 : P_R00 + 9]]
+    )
+    d = ray_cam @ rot.T
+    o = cam[P_O : P_O + 3]
+    t1v = (-0.5 - o) / d
+    t2v = (0.5 - o) / d
+    tf = jnp.min(jnp.maximum(t1v, t2v), axis=-1)
+    tn = jnp.max(jnp.minimum(t1v, t2v), axis=-1)
+    crossed = (tn <= tf) & (tf >= 0.0)
+
+    q = o + d * t_blk[..., None]
+    hxv = idx_blk % n
+    hyv = (idx_blk // n) % n
+    hzv = idx_blk // (n * n)
+    coords = jnp.stack([hxv, hyv, hzv], axis=-1)
+    cell = jnp.float32(FULL_CUBE_SIZE / n)
+    origin = (
+        coords.astype(jnp.float32) * cell + cell * 0.5 - HALF_CUBE_SIZE
+    )
+    return q, origin, coords, found, jnp.where(crossed, tf, 0.0), d
+
+
 def hit_geometry(cam, idx_img, t_img, *, grid_size, width, height):
     """(q, origin, coords, found, tf_miss) from a composited hit
     image — the shared XLA geometry for shadows/GI/shading."""
@@ -1026,18 +1575,38 @@ def raytrace_sliced(
 
         def call(vol2d, col, c2, zrange, *rest, kernel=kernel,
                  in_specs=in_specs, out_shape=out_shape,
-                 out_specs=out_specs, scratch=scratch):
+                 out_specs=out_specs, scratch=scratch, group=group):
             inputs = [cam, zrange, vol2d, col, c2] + list(rest)
-            return pl.pallas_call(
-                kernel,
-                grid=(tiles,),
-                out_shape=out_shape,
-                in_specs=in_specs,
-                out_specs=out_specs,
-                scratch_shapes=scratch,
-                interpret=interpret,
-                compiler_params=_SLAB_PARAMS,
-            )(*inputs)
+
+            def run():
+                return tuple(
+                    pl.pallas_call(
+                        kernel,
+                        grid=(tiles,),
+                        out_shape=out_shape,
+                        in_specs=in_specs,
+                        out_specs=out_specs,
+                        scratch_shapes=scratch,
+                        interpret=interpret,
+                        compiler_params=_SLAB_PARAMS,
+                    )(*inputs)
+                )
+
+            def skip():
+                # Neutral for the min-t composite: no hits.
+                outs = [
+                    jnp.zeros((tiles * SUB, LANE), jnp.float32),
+                    jnp.full((tiles * SUB, LANE), -1, jnp.int32),
+                ]
+                if age_bits:
+                    outs.append(jnp.zeros((tiles * SUB, LANE), jnp.int32))
+                return tuple(outs)
+
+            launch = _brick_nonempty(zrange) & _brick_visible(
+                cam, zrange, group.zext, group.xw, n
+            )
+            out = jax.lax.cond(launch, run, skip)
+            return out
 
         def merge(best, outs):
             t_b, i_b = outs[0], outs[1]
@@ -1068,17 +1637,37 @@ def raytrace_sliced(
     depth = jnp.where(found, t_img, tf_miss)
 
     prepped = groups  # shared with the primary pass (one relayout per brick)
-    if shadow:
-        jitter_k = None
-        if sample_idx is not None and soft_shadow_samples > 1:
-            jitter_k = (sample_idx % soft_shadow_samples).astype(jnp.int32)
-        occl = direct_occlusion(
-            cam, q, coords, found, prepped,
+    gi_slot = None
+    gi_bounces = indirect_bounces
+    if indirect and sample_idx is not None:
+        gi_slot = (sample_idx % 4).astype(jnp.int32)
+        gi_bounces = 1
+    jitter_k = None
+    if shadow and sample_idx is not None and soft_shadow_samples > 1:
+        jitter_k = (sample_idx % soft_shadow_samples).astype(jnp.int32)
+
+    gi_rgb = None
+    if (not indirect) or gi_bounces == 1:
+        # Single-bounce configs: all occlusion queries in ONE launch.
+        occl, gi_rgb = lighting_passes(
+            cam, q, origin, coords, found, prepped,
             grid_size=n, width=width, height=height,
-            soft_k=soft_shadow_samples, jitter_k=jitter_k,
+            soft_k=soft_shadow_samples if shadow else None,
+            jitter_k=jitter_k, gi=indirect, gi_slot=gi_slot,
             interpret=interpret,
         )
     else:
+        occl = (
+            direct_occlusion(
+                cam, q, coords, found, prepped,
+                grid_size=n, width=width, height=height,
+                soft_k=soft_shadow_samples, jitter_k=jitter_k,
+                interpret=interpret,
+            )
+            if shadow
+            else None
+        )
+    if occl is None:
         occl = jnp.ones((height, width), jnp.float32)
 
     light = cam[P_LIGHT : P_LIGHT + 3]
@@ -1103,15 +1692,12 @@ def raytrace_sliced(
         occl = occl * fade
     out = jnp.maximum(color, 0.0) * occl[..., None]
     if indirect:
-        gi_slot = None
-        gi_bounces = indirect_bounces
-        if sample_idx is not None:
-            gi_slot = (sample_idx % 4).astype(jnp.int32)
-            gi_bounces = 1
-        out = out + indirect_bounce(
-            vol, cam, q, origin, coords, found, prepped,
-            grid_size=n, width=width, height=height,
-            interpret=interpret, bounces=gi_bounces, slot=gi_slot,
-        )
+        if gi_rgb is None:
+            gi_rgb = indirect_bounce(
+                vol, cam, q, origin, coords, found, prepped,
+                grid_size=n, width=width, height=height,
+                interpret=interpret, bounces=gi_bounces, slot=gi_slot,
+            )
+        out = out + gi_rgb
     rgb = jnp.where(found[..., None], out, 0.0)
     return rgb, depth, idx_img

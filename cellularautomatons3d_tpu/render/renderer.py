@@ -73,6 +73,15 @@ class RenderStatic:
     # extended lighting.  Requires a frame counter (sample_idx) from the
     # caller; implies indirect_bounces == 1.
     gi_temporal: bool = False
+    # Sliced-path controls (fast pipeline).  ``force_sliced`` routes
+    # grids ≤ 256 through the z-slab/brick machinery (render_slab.py)
+    # instead of the fused kernel — the ≤ 256³ differential hook for the
+    # > 256³ path (e.g. mesh+sliced parity at test scale).
+    # ``slab_planes`` / ``x_chunk_cells`` override the brick layout
+    # (render_slab.brick_layout); None = production sizing.
+    force_sliced: bool = False
+    slab_planes: int | None = None
+    x_chunk_cells: int | None = None
 
 
 class RenderParams(NamedTuple):

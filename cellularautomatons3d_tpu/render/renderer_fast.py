@@ -104,7 +104,7 @@ def trace_shaded(
     n = s.grid_size
     soft = s.soft_shadow_samples > 1
     gi = s.indirect_lighting
-    if n <= 256:
+    if n <= 256 and not s.force_sliced:
         rgb, depth, idx = raytrace_tiles(
             packed,
             coarse_occupancy(packed),
@@ -123,6 +123,7 @@ def trace_shaded(
                 direct_occlusion,
                 hit_geometry,
                 indirect_bounce,
+                lighting_passes,
                 prep_slabs,
             )
 
@@ -131,36 +132,50 @@ def trace_shaded(
             q, origin, coords, found, _ = hit_geometry(
                 cam, idx, depth, grid_size=n, width=w, height=h
             )
-            if soft:
-                jitter_k = None
-                if temporal:
-                    jitter_k = (
-                        sample_idx % s.soft_shadow_samples
-                    ).astype(jnp.int32)
-                occl = direct_occlusion(
-                    cam, q, coords, found, prepped,
+            jitter_k = None
+            if soft and temporal:
+                jitter_k = (
+                    sample_idx % s.soft_shadow_samples
+                ).astype(jnp.int32)
+            if not gi or temporal or s.indirect_bounces == 1:
+                # Single-bounce (and temporal) configs: every occlusion
+                # query of the frame — soft samples + GI slots — rides
+                # ONE multi-query traversal (render_slab.lighting_passes).
+                occl, gi_rgb = lighting_passes(
+                    cam, q, origin, coords, found, prepped,
                     grid_size=n, width=w, height=h,
-                    soft_k=s.soft_shadow_samples, jitter_k=jitter_k,
+                    soft_k=s.soft_shadow_samples if soft else None,
+                    jitter_k=jitter_k,
+                    gi=gi,
+                    gi_slot=(
+                        (sample_idx % 4).astype(jnp.int32)
+                        if (gi and temporal) else None
+                    ),
                     interpret=interpret,
                 )
+            else:
+                # Deep recursion (indirect_bounces > 1): per-level passes.
+                occl = (
+                    direct_occlusion(
+                        cam, q, coords, found, prepped,
+                        grid_size=n, width=w, height=h,
+                        soft_k=s.soft_shadow_samples, jitter_k=None,
+                        interpret=interpret,
+                    )
+                    if soft
+                    else None
+                )
+                gi_rgb = indirect_bounce(
+                    packed, cam, q, origin, coords, found, prepped,
+                    grid_size=n, width=w, height=h,
+                    interpret=interpret, bounces=s.indirect_bounces,
+                )
+            if occl is not None:
                 # The kernel output is unshadowed (but age-faded) direct
                 # light; the soft occlusion multiplies it here.
                 rgb = rgb * occl[..., None]
-            if gi:
-                rgb = rgb + jnp.where(
-                    found[..., None],
-                    indirect_bounce(
-                        packed, cam, q, origin, coords, found, prepped,
-                        grid_size=n, width=w, height=h,
-                        interpret=interpret,
-                        bounces=1 if temporal else s.indirect_bounces,
-                        slot=(
-                            (sample_idx % 4).astype(jnp.int32)
-                            if temporal else None
-                        ),
-                    ),
-                    0.0,
-                )
+            if gi_rgb is not None:
+                rgb = rgb + jnp.where(found[..., None], gi_rgb, 0.0)
     else:
         from .render_slab import raytrace_sliced
 
@@ -176,6 +191,8 @@ def trace_shaded(
             soft_shadow_samples=s.soft_shadow_samples,
             indirect=s.indirect_lighting,
             indirect_bounces=s.indirect_bounces,
+            slab_planes=s.slab_planes,
+            x_chunk_cells=s.x_chunk_cells,
             sample_idx=sample_idx if s.gi_temporal else None,
         )
     # Emissive cells: surfaces add their own radiance, neither shadowed
@@ -298,6 +315,96 @@ def render_frame_fast(
     return presentation, depth, new_history
 
 
+def _ext_frame_blocked(s: RenderStatic, vis, cam, hist_blk, ages,
+                       total_states, sample_idx, interpret):
+    """One extended-lighting frame (soft shadows and/or GI) entirely in
+    the kernels' tile-blocked layout: primary kernel → blocked hit
+    geometry → one multi-query occlusion launch (+ cellstate) → blocked
+    composition (EMA + light cube + overlay + gamma).
+
+    This is the round-3 in-kernel-composition treatment extended to the
+    decomposed lighting path: zero image-layout conversions between
+    frames (the old path paid ~20 ``_to_blocks``/``_from_blocks``
+    transposes per temporal frame), history carried blocked as f32.
+    Returns (presentation [T·SUB, LANE, 3], new hist blocks).
+    """
+    from .render_fast import (
+        P_ALPHA, P_GAMMA, P_LIGHT, P_O, P_OVERLAY, P_WIN,
+    )
+    from .render_slab import (
+        blocked_pixels,
+        hit_geometry_blocked,
+        lighting_passes,
+        prep_slabs,
+    )
+
+    n = s.grid_size
+    w, h = s.width, s.height
+    soft = s.soft_shadow_samples > 1
+    gi = s.indirect_lighting
+    rgb, depth, idx = raytrace_tiles(
+        vis, coarse_occupancy(vis), cam, ages,
+        grid_size=n, width=w, height=h, shadow=not soft,
+        interpret=interpret, total_states=total_states,
+        return_blocked=True,
+    )
+    prepped = prep_slabs(vis, [(0, n)], n)
+    q, origin, coords, found, _, d = hit_geometry_blocked(
+        cam, idx, depth, grid_size=n, width=w, height=h
+    )
+    temporal = s.gi_temporal and sample_idx is not None
+    jitter_k = None
+    if soft and temporal:
+        jitter_k = (sample_idx % s.soft_shadow_samples).astype(jnp.int32)
+    occl, gi_rgb = lighting_passes(
+        cam, q, origin, coords, found, prepped,
+        grid_size=n, width=w, height=h,
+        soft_k=s.soft_shadow_samples if soft else None,
+        jitter_k=jitter_k, gi=gi,
+        gi_slot=(
+            (sample_idx % 4).astype(jnp.int32) if (gi and temporal) else None
+        ),
+        interpret=interpret, blocked=True,
+    )
+    if occl is not None:
+        rgb = rgb * occl[..., None]
+    if gi_rgb is not None:
+        rgb = rgb + jnp.where(found[..., None], gi_rgb, 0.0)
+    # Emissive cells (trace_shaded semantics, renderer.py:263-264).
+    from .render_fast import P_EMIS, P_EMISS
+
+    emis = cam[P_EMIS : P_EMIS + 3] * cam[P_EMISS]
+    rgb = jnp.where(found[..., None], rgb + emis, rgb)
+
+    # ---- composition (render_frame_fast static-camera semantics) ------
+    prev_r, prev_g, prev_b, prev_idx = hist_blk
+    prev = jnp.stack([prev_r, prev_g, prev_b], axis=-1)
+    same = (idx == prev_idx) & found
+    alpha = cam[P_ALPHA]
+    mixed = jnp.clip(prev + (rgb - prev) * alpha, 0.0, 1.0)
+    out = jnp.where(same[..., None], mixed, rgb)
+
+    camera_pos = cam[P_O : P_O + 3]
+    lt_near, lt_far = ray_cube_intersect(
+        camera_pos, d, cam[P_LIGHT : P_LIGHT + 3], jnp.float32(0.005)
+    )
+    light_hit = (lt_near <= lt_far) & (lt_far >= 0.0)
+    black = jnp.all(out == 0.0, axis=-1)
+    out = jnp.where((light_hit & black)[..., None], jnp.ones_like(out), out)
+
+    new_hist = (out[..., 0], out[..., 1], out[..., 2], idx)
+
+    px, _, _ = blocked_pixels(w, h)
+    ux = (px.astype(jnp.float32) + 0.5) / cam[P_WIN]
+    overlay = (cam[P_OVERLAY] == 1.0) & (ux < 0.5)
+    pres = jnp.power(out, 1.0 / cam[P_GAMMA])
+    overlay_rgb = jnp.stack(
+        [depth, jnp.zeros_like(depth), jnp.zeros_like(depth)], axis=-1
+    )
+    pres = jnp.where(overlay[..., None], overlay_rgb, pres)
+    return pres, new_hist
+
+
 def make_fused_loop(s: RenderStatic, spec, frames: int, steps_per_frame: int = 1,
                     reset_every: int = 0):
     """Jitted production loop: ``frames`` iterations of (CA steps + frame)
@@ -312,7 +419,11 @@ def make_fused_loop(s: RenderStatic, spec, frames: int, steps_per_frame: int = 1
     frames (benchmarking aid: amortizing the transport dispatch over many
     frames without letting a growth rule densify the scene — every frame
     still performs a full CA step + render; only the workload's cell count
-    is pinned to the input scene's band).
+    is pinned to the input scene's band).  The period rides as a TRACED
+    operand, so loops differing only in ``reset_every`` lower to one
+    identical program — the persistent compilation cache serves the
+    second variant without a recompile (bench.py measures both the
+    pinned and the unpinned line).
 
     When the config allows it (hard shadows, no GI, grid ≤ 256) the loop
     composes frames entirely in-kernel and carries the temporal history in
@@ -348,11 +459,77 @@ def make_fused_loop(s: RenderStatic, spec, frames: int, steps_per_frame: int = 1
         s.soft_shadow_samples <= 1
         and not s.indirect_lighting
         and s.grid_size <= 256
+        and not s.force_sliced
     )
+    # Extended lighting (soft shadows / single-bounce or temporal GI) at
+    # fused scale: the blocked end-to-end pipeline (_ext_frame_blocked).
+    use_ext_blocked = (
+        not use_compose
+        and s.grid_size <= 256
+        and not s.force_sliced
+        and ((not s.indirect_lighting) or s.gi_temporal
+             or s.indirect_bounces == 1)
+    )
+
+    def maybe_reset(i, st, state, rp):
+        return jax.lax.cond(
+            (rp > 0) & ((i + 1) % jnp.maximum(rp, 1) == 0),
+            lambda: state,
+            lambda: st,
+        )
+
+    if use_ext_blocked:
+        @functools.partial(jax.jit, donate_argnums=(0, 2))
+        def run_impl(state, params: RenderParams, history: FastHistory, rp):
+            h, w = s.height, s.width
+            interp = jax.default_backend() == "cpu"
+            cam = _cam_vec(params, w, h)
+            hcol = history.color.astype(jnp.float32)
+            hblk = (
+                _to_blocks(hcol[..., 0], w, h),
+                _to_blocks(hcol[..., 1], w, h),
+                _to_blocks(hcol[..., 2], w, h),
+                _to_blocks(history.hit_idx, w, h, fill=-1),
+            )
+            zero_pres = jnp.zeros(hblk[0].shape + (3,), jnp.float32)
+
+            def body(i, carry):
+                st, hist, _ = carry
+                for _ in range(steps_per_frame):
+                    st = one_step(st)
+                pres, hist = _ext_frame_blocked(
+                    s, visibility(st), cam, hist,
+                    st if multistate else None, spec.total_states,
+                    i.astype(jnp.int32) if s.gi_temporal else None,
+                    interp,
+                )
+                st = maybe_reset(i, st, state, rp)
+                return st, hist, pres
+
+            state, hist, pres = jax.lax.fori_loop(
+                0, frames, body, (state, hblk, zero_pres)
+            )
+            frame = jnp.stack(
+                [_from_blocks(pres[..., c], w, h) for c in range(3)],
+                axis=-1,
+            )
+            history = FastHistory(
+                color=jnp.stack(
+                    [_from_blocks(hist[c], w, h) for c in range(3)], axis=-1
+                ).astype(jnp.float16),
+                hit_idx=_from_blocks(hist[3], w, h),
+            )
+            return state, history, frame
+
+        def run(state, params, history, reset_period=None):
+            rp = reset_every if reset_period is None else reset_period
+            return run_impl(state, params, history, jnp.int32(rp))
+
+        return run
 
     if not use_compose:
         @functools.partial(jax.jit, donate_argnums=(0, 2))
-        def run(state, params: RenderParams, history: FastHistory):
+        def run_impl(state, params: RenderParams, history: FastHistory, rp):
             h, w = s.height, s.width
             zero_frame = jnp.zeros((h, w, 3), jnp.float32)
 
@@ -366,20 +543,21 @@ def make_fused_loop(s: RenderStatic, spec, frames: int, steps_per_frame: int = 1
                     None, None,
                     i.astype(jnp.int32) if s.gi_temporal else None,
                 )
-                if reset_every:
-                    st = jax.lax.cond(
-                        (i + 1) % reset_every == 0, lambda: state, lambda: st
-                    )
+                st = maybe_reset(i, st, state, rp)
                 return st, hist, frame
 
             return jax.lax.fori_loop(
                 0, frames, body, (state, history, zero_frame)
             )
 
+        def run(state, params, history, reset_period=None):
+            rp = reset_every if reset_period is None else reset_period
+            return run_impl(state, params, history, jnp.int32(rp))
+
         return run
 
     @functools.partial(jax.jit, donate_argnums=(0, 2))
-    def run(state, params: RenderParams, history: FastHistory):
+    def run_impl(state, params: RenderParams, history: FastHistory, rp):
         h, w = s.height, s.width
         interp = jax.default_backend() == "cpu"
         cam = _cam_vec(params, w, h)
@@ -406,10 +584,7 @@ def make_fused_loop(s: RenderStatic, spec, frames: int, steps_per_frame: int = 1
                 interpret=interp, total_states=spec.total_states,
             )
             pres_r, pres_g, pres_b, depth_b, idx_b, nhr, nhg, nhb = outs
-            if reset_every:
-                st = jax.lax.cond(
-                    (i + 1) % reset_every == 0, lambda: state, lambda: st
-                )
+            st = maybe_reset(i, st, state, rp)
             return st, (nhr, nhg, nhb, idx_b), (pres_r, pres_g, pres_b)
 
         state, hist, pres = jax.lax.fori_loop(
@@ -423,5 +598,9 @@ def make_fused_loop(s: RenderStatic, spec, frames: int, steps_per_frame: int = 1
             hit_idx=_from_blocks(hist[3], w, h),
         )
         return state, history, frame
+
+    def run(state, params, history, reset_period=None):
+        rp = reset_every if reset_period is None else reset_period
+        return run_impl(state, params, history, jnp.int32(rp))
 
     return run

@@ -121,6 +121,71 @@ def test_single_slot_estimates_sum():
         )
 
 
+def test_ext_blocked_loop_matches_frame_sequence():
+    """The blocked end-to-end extended-lighting loop (make_fused_loop's
+    _ext_frame_blocked path: blocked hit geometry, single multi-query
+    occlusion launch, blocked composition) must match iterating
+    render_frame_fast through the image-layout path, frame for frame."""
+    from cellularautomatons3d_tpu.render.renderer import RenderParams
+    from cellularautomatons3d_tpu.render.renderer_fast import (
+        init_fast_history,
+        make_fused_loop,
+        render_frame_fast,
+    )
+
+    spec = ca.AutomatonSpec.from_config(ca.EngineConfig(grid_size=N))
+    step = ca.make_step_fn(spec)
+    st = _scene()
+    view = mat4.initial_view_matrix()
+    proj = mat4.initial_projection_matrix(W, H)
+    proj_view = mat4.multiply(proj, mat4.inverse(view))
+    params = RenderParams(
+        view_mat=jnp.asarray(view),
+        prev_view_mat=jnp.asarray(view),
+        prev_proj_view=jnp.asarray(proj_view),
+        elapsed_time=jnp.float32(0.37),
+        cell_size=jnp.float32(0.85),
+        temporal_alpha=jnp.float32(0.1),
+        gamma=jnp.float32(2.0),
+        roughness=jnp.float32(0.29),
+        base_reflectivity=jnp.full((3,), 0.17, jnp.float32),
+        material_color=jnp.zeros((3,), jnp.float32),
+        light_pos=jnp.asarray([0.721, 1.0, 1.0], jnp.float32),
+        light_magnitude=jnp.float32(5.0),
+        show_depth_overlay=jnp.float32(0.0),
+        light_radius=jnp.float32(0.08),
+    )
+    s = RenderStatic(
+        width=W, height=H, grid_size=N,
+        indirect_lighting=True, soft_shadow_samples=4, gi_temporal=True,
+    )
+
+    frames = 3
+    run = make_fused_loop(s, spec, frames)
+    st_out, hist_out, frame = run(st + 0, params, init_fast_history(W, H))
+
+    st2 = st
+    hist = init_fast_history(W, H)
+    for i in range(frames):
+        st2 = step(st2)
+        frame2, _, hist = render_frame_fast(
+            s, st2, params, hist, True, None, 2, None, None, jnp.int32(i)
+        )
+    np.testing.assert_array_equal(np.asarray(st_out), np.asarray(st2))
+    np.testing.assert_array_equal(
+        np.asarray(hist_out.hit_idx), np.asarray(hist.hit_idx)
+    )
+    # Loop history rides f32 and quantizes once at exit; the per-frame
+    # path re-quantizes to f16 every frame — tolerance covers that.
+    np.testing.assert_allclose(
+        np.asarray(frame), np.asarray(frame2), rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(hist_out.color, np.float32),
+        np.asarray(hist.color, np.float32), rtol=2e-2, atol=2e-3,
+    )
+
+
 def test_engine_gi_temporal_smoke():
     """Engine wiring: gi_temporal renders finite frames and advances the
     sample counter; consecutive static frames differ (rotating samples)

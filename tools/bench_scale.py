@@ -166,8 +166,37 @@ def bench_gi_temporal():
     }))
 
 
+def bench_gi_temporal_loop():
+    """The PRODUCTION temporal-GI loop: make_fused_loop's blocked
+    end-to-end path (step + primary kernel + one multi-query occlusion
+    launch + blocked composition per frame, history carried blocked) —
+    the real-time config-4 number."""
+    spec, state = _scene(256)
+    s = RenderStatic(width=WIDTH, height=HEIGHT, grid_size=256,
+                     depth_samples=35, shadow_samples=30,
+                     indirect_lighting=True, soft_shadow_samples=4,
+                     gi_temporal=True)
+    k = 50
+    run = RFW.make_fused_loop(s, spec, k, reset_every=10)
+    params = _params()
+    hist = RFW.init_fast_history(WIDTH, HEIGHT)
+    st, hist, frame = run(state + 0, params, hist)
+    device_sync(frame)
+    t0 = time.perf_counter()
+    st, hist, frame = run(state + 0, params, RFW.init_fast_history(WIDTH, HEIGHT))
+    device_sync(frame)
+    frame_ms = (time.perf_counter() - t0) * 1000.0 / k
+    print(json.dumps({
+        "metric": "256^3 step + GI-temporal composed 1080p frame (fused loop)",
+        "value": round(frame_ms, 3), "unit": "ms",
+        "target_ms": 16.7,
+        "device": str(jax.devices()[0]),
+    }))
+
+
 BENCHES = {"512": bench_512, "1024": bench_1024, "gi": bench_gi,
-           "gi_temporal": bench_gi_temporal}
+           "gi_temporal": bench_gi_temporal,
+           "gi_temporal_loop": bench_gi_temporal_loop}
 
 
 if __name__ == "__main__":

@@ -46,11 +46,14 @@ def main():
     ap.add_argument("--frames", type=int, default=10)
     ap.add_argument("--mode", default="headline",
                     choices=("headline", "gi_temporal", "gi"))
+    ap.add_argument("--grid", type=int, default=GRID,
+                    help="grid size (1024 traces the brick path)")
     args = ap.parse_args()
 
-    spec = ca.AutomatonSpec.from_config(ca.EngineConfig(grid_size=GRID))
-    state = jnp.asarray(ca.pack_grid(ca.seed_center(GRID)))
-    state = make_multi_step(spec, 80)(state)
+    grid = args.grid
+    spec = ca.AutomatonSpec.from_config(ca.EngineConfig(grid_size=grid))
+    state = jnp.asarray(ca.pack_grid(ca.seed_center(grid)))
+    state = make_multi_step(spec, 80 if grid <= 256 else 200)(state)
     device_sync(state)
 
     view = mat4.initial_view_matrix()
@@ -73,7 +76,7 @@ def main():
                         gi_temporal=True)
     elif args.mode == "gi":
         lighting = dict(indirect_lighting=True, soft_shadow_samples=4)
-    s = RenderStatic(width=WIDTH, height=HEIGHT, grid_size=GRID,
+    s = RenderStatic(width=WIDTH, height=HEIGHT, grid_size=grid,
                      depth_samples=35, shadow_samples=30, **lighting)
     run = RFW.make_fused_loop(s, spec, args.frames)
     hist = RFW.init_fast_history(WIDTH, HEIGHT)
