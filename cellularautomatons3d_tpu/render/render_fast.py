@@ -1393,8 +1393,13 @@ def raytrace_tiles(
     # cost more than the skipped fine planes save, so the default is OFF;
     # CA3D_MIP1=1 re-enables it for sparse scenes (exact either way).
     use_mip1 = _os.environ.get("CA3D_MIP1", "0") == "1"
-    # CA3D_SLICEGATE=1: slice-gated fine fetches (descend_gated) — an
-    # opt-in perf lever awaiting hardware measurement; exact either way.
+    # CA3D_SLICEGATE=1: slice-gated fine fetches (descend_gated).
+    # Measured on 1×v5e (tools/bench_dense.py, gen-230 dense scene,
+    # 1.63M cells): 37.1 ms vs 25.0 ms default — a clear LOSS at
+    # density (a dense tile's probes flag most slices anyway, so the
+    # one-hot prepass + 16 gated regions outweigh the saved gathers),
+    # and its Mosaic compile runs ~10× longer.  Kept opt-in for sparse
+    # scenes; exact either way.
     use_slicegate = _os.environ.get("CA3D_SLICEGATE", "0") == "1"
     if use_slicegate:
         use_mip1 = False  # descent path is replaced wholesale

@@ -889,10 +889,23 @@ def shadow_occlusion_batch(cam, queries, prepped, *, grid_size, width,
     Returns list of bool [H, W] occlusion masks (ORed over slabs).
     """
     n = grid_size
+    nq = len(queries)
+    # Mosaic compile time scales with nq (the kernel unrolls per-query
+    # geometry for every plane probe); chunk very large batches.  8 (the
+    # full-GI frame: 4 soft + 4 GI slots) is the measured-practical cap.
+    nq_max = int(_os.environ.get("CA3D_OCC_NQ", "8"))
+    if nq > nq_max:
+        out = []
+        for i in range(0, nq, nq_max):
+            out += shadow_occlusion_batch(
+                cam, queries[i : i + nq_max], prepped, grid_size=grid_size,
+                width=width, height=height, interpret=interpret,
+                blocked=blocked,
+            )
+        return out
     nbx = pl.cdiv(width, BW)
     nby = pl.cdiv(height, BH)
     tiles = nbx * nby
-    nq = len(queries)
     blk_i32 = jax.ShapeDtypeStruct((tiles * nq * SUB, LANE), jnp.int32)
     qblock = pl.BlockSpec((nq * SUB, LANE), lambda t: (t, 0))
 

@@ -45,6 +45,22 @@ _HEAVY_MODULES = {
     "test_engine", "test_engine_mesh", "test_multigroup", "test_render",
 }
 
+# Default `pytest tests/` runs the fast core set; tests marked `heavy`
+# (the long interpret-mode render differentials — tens of minutes of
+# XLA:CPU compile each on this 1-core box) run with CA3D_HEAVY=1.
+_RUN_HEAVY = os.environ.get("CA3D_HEAVY") == "1"
+
+
+def pytest_collection_modifyitems(config, items):
+    if _RUN_HEAVY:
+        return
+    skip = pytest.mark.skip(
+        reason="heavy interpret-mode test; run with CA3D_HEAVY=1"
+    )
+    for item in items:
+        if "heavy" in item.keywords:
+            item.add_marker(skip)
+
 
 def _rss_gb() -> float:
     with open("/proc/self/statm") as f:
