@@ -478,6 +478,16 @@ def _make_shadow_kernel(n, zext, nq=1, x_words=None):
                 hit = cand & (tn <= tf) & (tn >= 0.0)
                 found_ref[sl] = jnp.where(hit, 1, found_ref[sl])
 
+        # Per-direction scalar gate over ALL queries (the sweep's
+        # pass_possible check): shadow rays toward an overhead light are
+        # almost all dz > 0 — one fold kills the whole -z pass.
+        dzs = dz[:]
+        actv_all = act[:] == 1
+        dir_any = {
+            1: _or_fold_scalar((actv_all & (dzs > 0)).astype(_I32)) != 0,
+            -1: _or_fold_scalar((actv_all & (dzs < 0)).astype(_I32)) != 0,
+        }
+
         for direction in (1, -1):
             for g0 in range(0, nc, GROUP):
                 cols = [
@@ -485,7 +495,8 @@ def _make_shadow_kernel(n, zext, nq=1, x_words=None):
                     for j in range(GROUP)
                 ]
                 lo_c, hi_c = min(cols), max(cols)
-                gate = (zrange[1] >= lo_c) & (zrange[0] <= hi_c)
+                gate = dir_any[direction]
+                gate = gate & (zrange[1] >= lo_c) & (zrange[0] <= hi_c)
                 gate = gate & (
                     (hi_c >= smin_c) if direction > 0 else (lo_c <= smax_c)
                 )
@@ -890,10 +901,13 @@ def shadow_occlusion_batch(cam, queries, prepped, *, grid_size, width,
     """
     n = grid_size
     nq = len(queries)
-    # Mosaic compile time scales with nq (the kernel unrolls per-query
-    # geometry for every plane probe); chunk very large batches.  8 (the
-    # full-GI frame: 4 soft + 4 GI slots) is the measured-practical cap.
-    nq_max = int(_os.environ.get("CA3D_OCC_NQ", "8"))
+    # Mosaic compile time scales superlinearly with nq (the kernel
+    # unrolls per-query geometry for every plane probe): nq=2 compiles
+    # in minutes, nq=8 ran >1.5 h on this host before being abandoned.
+    # Cap at 4 — the full-GI frame (4 soft + 4 GI slots) runs as two
+    # shared-traversal launches, still amortizing the per-sweep fixed
+    # machinery 4× vs the old per-query launches.
+    nq_max = int(_os.environ.get("CA3D_OCC_NQ", "4"))
     if nq > nq_max:
         out = []
         for i in range(0, nq, nq_max):

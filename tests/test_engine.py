@@ -31,6 +31,7 @@ def test_step_advances_counter_and_state():
     assert eng.state_dense().sum() > 1
 
 
+@pytest.mark.heavy
 def test_tick_cadence():
     # Default step duration 48 ms at 16.667 ms frames: step fires on the
     # 3rd frame (accumulated 50 ms ≥ 48), as in main_pathtraced.js:1838-1847.
@@ -69,6 +70,7 @@ def test_live_vs_restart_params():
     assert eng.state_dense().sum() == 1  # reseeded
 
 
+@pytest.mark.heavy
 def test_multistate_engine_runs_and_renders():
     eng = small_engine(neighbourhood="moore", born="4", survive="4", total_states=5)
     eng.step(2)
@@ -180,6 +182,7 @@ def test_live_sample_count_change_applies():
     assert np.isfinite(f).all()
 
 
+@pytest.mark.heavy
 def test_live_resize_reallocates_history():
     # main_pathtraced.js:781-797 resizes mid-run; width/height are live.
     eng = small_engine()

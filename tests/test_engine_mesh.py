@@ -30,6 +30,7 @@ def test_mesh_engine_steps_match_single_device():
 
 
 @needs_mesh
+@pytest.mark.heavy
 def test_mesh_engine_fast_frame_matches_single_device():
     em = Engine(mesh_devices=8, **COMMON)
     e1 = Engine(**COMMON)
@@ -42,6 +43,7 @@ def test_mesh_engine_fast_frame_matches_single_device():
 
 
 @needs_mesh
+@pytest.mark.heavy
 def test_mesh_engine_tick_accumulates_history():
     em = Engine(mesh_devices=8, **COMMON)
     em.tick()
@@ -64,6 +66,7 @@ def test_mesh_engine_reference_pipeline():
 
 
 @needs_mesh
+@pytest.mark.heavy
 def test_mesh_engine_multistate():
     em = Engine(mesh_devices=8, total_states=4, **COMMON)
     e1 = Engine(total_states=4, **COMMON)
@@ -83,6 +86,7 @@ def test_mesh_devices_validation():
 
 
 @needs_mesh
+@pytest.mark.heavy
 def test_mesh_engine_panning_keeps_history_via_reprojection():
     """Under camera motion, the mesh path must reproject history within
     each row shard (round-2: it hard-coded camera_static=True, ghosting
@@ -124,6 +128,7 @@ def test_mesh_engine_panning_keeps_history_via_reprojection():
 
 
 @needs_mesh
+@pytest.mark.heavy
 def test_mesh_engine_run_fused_matches_single_device():
     """Mesh-mode fused loop (round-3 verdict item: `run_fused` raised for
     mesh engines): k frames of (sharded step + row-sharded frame) chained
@@ -142,6 +147,7 @@ def test_mesh_engine_run_fused_matches_single_device():
 
 
 @needs_mesh
+@pytest.mark.heavy
 def test_mesh_engine_sliced_render_matches_single_device():
     """Mesh + SLICED fast render (the > 256³ config-5 composition):
     `raytrace_sliced` inside `shard_map`, forced at test scale via
@@ -175,6 +181,7 @@ def test_mesh2d_engine_steps_match_single_device():
 
 
 @needs_mesh
+@pytest.mark.heavy
 def test_mesh2d_engine_fast_frame_matches_single_device():
     em = Engine(mesh_shape=(2, 4), **COMMON)
     e1 = Engine(**COMMON)

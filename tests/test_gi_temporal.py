@@ -52,6 +52,7 @@ def _cam():
     )
 
 
+@pytest.mark.heavy
 def test_temporal_rotation_mean_equals_full_lighting():
     """Mean over a full 4-sample rotation of the temporal mode ==
     the non-temporal frame (soft_k=4 average + 4-slot GI sum)."""
@@ -82,6 +83,7 @@ def test_temporal_rotation_mean_equals_full_lighting():
     )
 
 
+@pytest.mark.heavy
 def test_single_slot_estimates_sum():
     """indirect_bounce(slot=i) == 4 × slot i's contribution: the mean of
     the four single-slot calls equals the full 4-slot call."""
@@ -121,6 +123,7 @@ def test_single_slot_estimates_sum():
         )
 
 
+@pytest.mark.heavy
 def test_ext_blocked_loop_matches_frame_sequence():
     """The blocked end-to-end extended-lighting loop (make_fused_loop's
     _ext_frame_blocked path: blocked hit geometry, single multi-query

@@ -107,6 +107,7 @@ def oracle_dda(dense, view, cell_mul=0.85, h=None, w=None):
     return depth, idx
 
 
+@pytest.mark.heavy
 def test_fast_single_cell_matches_oracle():
     dense = np.zeros((N, N, N), np.uint8)
     dense[40, 30, 31] = 1
@@ -117,6 +118,7 @@ def test_fast_single_cell_matches_oracle():
     assert (np.asarray(idx) >= 0).sum() > 0  # the cell is visible
 
 
+@pytest.mark.heavy
 def test_fast_block_matches_oracle():
     dense = np.zeros((N, N, N), np.uint8)
     dense[24:40, 24:40, 24:40] = 1
@@ -127,6 +129,7 @@ def test_fast_block_matches_oracle():
 
 
 @pytest.mark.parametrize("seed,density", [(5, 0.02), (7, 0.001), (11, 0.15)])
+@pytest.mark.heavy
 def test_fast_random_scene_matches_oracle_exactly(seed, density):
     """Randomized scenes must match the oracle on every pixel: the dilated
     column probe + steep-ray force-descend make the skip hierarchy
@@ -139,6 +142,7 @@ def test_fast_random_scene_matches_oracle_exactly(seed, density):
 
 
 @pytest.mark.parametrize("toggle", ["CA3D_MIP1", "CA3D_SLICEGATE"])
+@pytest.mark.heavy
 def test_fast_perf_toggles_match_oracle_exactly(monkeypatch, toggle):
     """The opt-in perf levers (plane-mip prefilter, slice-gated fetches)
     must stay conservative-exact: same oracle equality as the default
@@ -165,6 +169,7 @@ def test_fast_perf_toggles_match_oracle_exactly(monkeypatch, toggle):
 
 
 @pytest.mark.parametrize("angle", [0.35, 1.1, 1.45])
+@pytest.mark.heavy
 def test_fast_random_scene_rotated_exact(angle):
     """Oblique and near-side-on cameras exercise the steep-ray paths
     (|dxy/dz| > 1 skips the supercolumn gate; > 2 forces fine descent)."""
@@ -177,6 +182,7 @@ def test_fast_random_scene_rotated_exact(angle):
     np.testing.assert_array_equal(np.asarray(idx), o_idx)
 
 
+@pytest.mark.heavy
 def test_fast_rotated_camera_negative_dz():
     # Camera on the other side looking +z exercises the second sweep pass.
     view = mat4.rotate(mat4.initial_view_matrix(), (0, 1, 0), np.pi)
@@ -229,6 +235,7 @@ def test_fast_color_matches_exact_renderer_brdf():
         np.testing.assert_allclose(rgb[py, px], np.asarray(want), rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.heavy
 def test_fast_shadowing():
     # A wall between the light and a target cell: the target is occluded.
     dense = np.zeros((N, N, N), np.uint8)
@@ -268,6 +275,7 @@ def shaded(dense, cam, **static_kw):
         return trace_shaded(s, vol, cam, None, 2, True)
 
 
+@pytest.mark.heavy
 def test_fast_emissive_adds_unshadowed_radiance():
     """Emissive cells add their own radiance after shadowing
     (renderer.py:263-264): delta = emissive_color * strength on hits."""
@@ -287,6 +295,7 @@ def test_fast_emissive_adds_unshadowed_radiance():
     assert (np.asarray(rgb1)[~hit] == np.asarray(rgb0)[~hit]).all()
 
 
+@pytest.mark.heavy
 def test_fast_soft_shadows_penumbra():
     """A finite light radius + multiple jittered occlusion passes produce
     partial occlusion (between the hard-shadow quotient and 1) somewhere
@@ -309,6 +318,7 @@ def test_fast_soft_shadows_penumbra():
     assert ((ratio > 0.05) & (ratio < 0.95)).any(), "no penumbra found"
 
 
+@pytest.mark.heavy
 def test_fast_indirect_matches_exact_renderer():
     """GI parity: on an unshadowed 2-cell scene the decomposed GI path's
     output must equal the exact pipeline's direct + _indirect_lighting +
@@ -385,6 +395,7 @@ def test_fast_indirect_matches_exact_renderer():
     assert checked > 0
 
 
+@pytest.mark.heavy
 def test_fast_two_bounce_matches_exact_renderer():
     """Multi-bounce GI parity (BASELINE config 4 "multi-bounce"): with
     bounces=2 the decomposed occlusion/neighbour-mask path must equal the
@@ -493,6 +504,7 @@ def test_fast_empty_grid_black():
     assert np.asarray(depth).max() > 0.5
 
 
+@pytest.mark.heavy
 def test_fast_age_coloring():
     """Multi-state ages fade the fast-path color like the exact renderer."""
     dense_alive = np.zeros((N, N, N), np.uint8)

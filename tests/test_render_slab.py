@@ -63,6 +63,7 @@ def both(dense, shadow, view=None, **extra):
     return [np.asarray(x) for x in fused], [np.asarray(x) for x in sliced]
 
 
+@pytest.mark.heavy
 def test_sliced_matches_fused_random_scene():
     rng = np.random.default_rng(9)
     dense = (rng.random((N, N, N)) < 0.02).astype(np.uint8)
@@ -72,6 +73,7 @@ def test_sliced_matches_fused_random_scene():
     np.testing.assert_allclose(s_rgb, f_rgb, rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.heavy
 def test_sliced_matches_fused_with_shadows():
     dense = np.zeros((N, N, N), np.uint8)
     dense[40, 24:40, 24:40] = 1     # wall
@@ -81,6 +83,7 @@ def test_sliced_matches_fused_with_shadows():
     np.testing.assert_allclose(s_rgb, f_rgb, rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.heavy
 def test_sliced_shadow_crosses_slab_boundary():
     """Occluders in a different slab than the lit surface must still cast
     shadows: the shadow kernels OR occlusion across all slabs."""
@@ -95,6 +98,7 @@ def test_sliced_shadow_crosses_slab_boundary():
     )
 
 
+@pytest.mark.heavy
 def test_sliced_rotated_camera():
     rng = np.random.default_rng(3)
     dense = (rng.random((N, N, N)) < 0.03).astype(np.uint8)
@@ -112,6 +116,7 @@ def test_slab_extent_sizing():
     assert slab_extent(64) == 64
 
 
+@pytest.mark.heavy
 def test_sliced_multigroup_320_matches_oracle():
     """N=320 exercises the multi-x-group coarse layout that 512³ uses and
     64³ tests cannot reach: group-major coarse rows (nbk = 40 > 32,
@@ -279,6 +284,7 @@ def _bricked(dense, shadow, view=None, x_cells=32, **extra):
     return [np.asarray(x) for x in plain], [np.asarray(x) for x in bricked]
 
 
+@pytest.mark.heavy
 def test_bricked_matches_sliced_random_scene():
     rng = np.random.default_rng(13)
     dense = (rng.random((N, N, N)) < 0.02).astype(np.uint8)
@@ -289,6 +295,7 @@ def test_bricked_matches_sliced_random_scene():
     np.testing.assert_allclose(b_rgb, p_rgb, rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.heavy
 def test_bricked_shadow_crosses_chunk_boundary():
     """Occluders in a different x-chunk than the lit surface must still
     cast shadows (occlusion ORs over bricks), and a surface adjacent to

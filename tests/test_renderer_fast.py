@@ -20,7 +20,8 @@ from cellularautomatons3d_tpu.utils import mat4
 
 
 import jax as _jax
-import pytest as _pytest
+import pytest
+_pytest = pytest
 
 
 @_pytest.fixture(autouse=True)
@@ -70,6 +71,7 @@ STATIC = R.RenderStatic(
 )
 
 
+@pytest.mark.heavy
 def test_static_camera_ema_accumulates():
     packed = scene()
     view = mat4.initial_view_matrix()
@@ -89,6 +91,7 @@ def test_static_camera_ema_accumulates():
     assert (out[hit] > raw[hit] + 0.1).mean() > 0.9
 
 
+@pytest.mark.heavy
 def test_panning_camera_keeps_history_via_reprojection():
     packed = scene()
     view_a = mat4.initial_view_matrix()
@@ -122,6 +125,7 @@ def test_panning_camera_keeps_history_via_reprojection():
     assert pulled > 0.5, f"only {pulled:.2%} of hit pixels kept history"
 
 
+@pytest.mark.heavy
 def test_depth_overlay_not_in_history():
     packed = scene()
     params = make_params(mat4.initial_view_matrix())
@@ -139,6 +143,7 @@ def test_depth_overlay_not_in_history():
     assert hcol[:, : W_IMG // 2][hit_left][:, 1:].max() > 0
 
 
+@pytest.mark.heavy
 def test_fused_compose_loop_matches_frame_sequence():
     """The in-kernel-composition loop (blocked history, EMA + light cube +
     gamma inside the Pallas kernel) must match iterating render_frame_fast
