@@ -174,13 +174,18 @@ def brick_layout(n: int, slab_planes: int | None = None,
     )
 
 
+_BRICK_SKIP = _os.environ.get("CA3D_BRICK_SKIP", "1") == "1"
+
+
 def _brick_nonempty(zrange):
     """Scalar: the brick's occupancy z-range is non-inverted (any live
     cell).  Empty bricks contribute nothing to any pass — min-t, OR and
     state composites are all neutral for them — so their kernel launch
     is skipped with ``lax.cond`` (at 1024³ a center-seeded scene
     occupies 2-4 of 16 bricks; the other launches were pure fixed
-    cost)."""
+    cost).  CA3D_BRICK_SKIP=0 disables the conds (perf attribution)."""
+    if not _BRICK_SKIP:
+        return jnp.bool_(True)
     return zrange[0] <= zrange[1]
 
 
@@ -192,6 +197,8 @@ def _brick_visible(cam, zrange, zext, xw, n):
     z corners stay 'maybe visible').  Exact for the composite: a
     culled brick can contain no primary hit, because every primary ray
     segment lies inside the frustum pyramid."""
+    if not _BRICK_SKIP:
+        return jnp.bool_(True)
     z0 = zrange[2].astype(_F32)
     if xw is not None:
         x0 = (zrange[3] * 32).astype(_F32)
@@ -327,11 +334,9 @@ def _make_shadow_kernel(n, zext, nq=1, x_words=None):
     * the fixed traversal machinery — group/column scalar gates, OR-fold
       reductions and `pl.when` regions run ONCE per tile instead of once
       per query (the ablated no-sweep floor put ~3.4 ms/sweep on exactly
-      this machinery);
-    * each executed plane's packed-word row loads
-      (`fetch_fine_bits_multi`): GI-slot and soft-shadow rays of one
-      pixel all run from ~the hit surface toward ~the light, so their
-      plane sets nearly coincide and the row loads amortize nq×;
+      this machinery): GI-slot and soft-shadow rays of one pixel all run
+      from ~the hit surface toward ~the light, so their column sets
+      nearly coincide and one traversal serves the batch;
     * the coarse/supercolumn row broadcasts of the column gates.
 
     Per-query state (origin, direction, t-range, exclusion id, found)
@@ -342,7 +347,7 @@ def _make_shadow_kernel(n, zext, nq=1, x_words=None):
     out-of-range excluded coords — the reference's clamp quirk can
     yield x == n — produce ids no probe cell can match).
     """
-    _, _, fetch_multi = _make_traversal(n, zext, 0, x_words)
+    _, fetch_one, _ = _make_traversal(n, zext, 0, x_words)
     w_words = n // 32
     chunk_words = w_words if x_words is None else x_words
     chunked = chunk_words < w_words
@@ -416,67 +421,76 @@ def _make_shadow_kernel(n, zext, nq=1, x_words=None):
             hi = jnp.minimum(jnp.maximum(ta, tb), t1q)
             return (lo < hi) & ~foundq & pass_active, lo, hi
 
-        def probe_plane(k_plane, direction):
-            """One fine plane, all queries: per-query geometry, ONE
-            shared fetch over the packed-word rows."""
-            geo = []
+        def column_planes(c_plane, direction):
+            """All 8 fine planes of one descended column, all queries.
+
+            Query-OUTER, plane-INNER: each query's ray loads ONCE per
+            column and stays live across its 8 sequential plane probes
+            (the sweep's col_work discipline — the first cut of this
+            kernel reloaded the 9 ray arrays per plane probe, 8× the
+            VMEM traffic, and regressed the 512³ frame by ~40%).  The
+            per-query fetches forgo cross-query row-load sharing; the
+            shared gating machinery (group/column candidates + folds +
+            `pl.when` regions, the dominant per-sweep fixed cost) still
+            amortizes over the batch."""
             for q in range(nq):
+                sl = slice(q * SUB, (q + 1) * SUB)
                 ray = load_q(q)
                 pa = pass_act(ray, direction)
-                foundq = found_ref[q * SUB : (q + 1) * SUB] == 1
                 ox, oy, oz, dxq, dyq, dzq, t1q = ray[:7]
-                inv_dz = 1.0 / dzq
-                gzf = z0f + k_plane
-                ta = (gzf * inv_n - half - oz) * inv_dz
-                tb = ((gzf + 1.0) * inv_n - half - oz) * inv_dz
-                lo = jnp.maximum(jnp.minimum(ta, tb), 0.0)
-                hi = jnp.minimum(jnp.maximum(ta, tb), t1q)
-                seg_ok = (lo < hi) & ~foundq & pa
-                tm = 0.5 * (lo + hi)
-                cx = jnp.clip(
-                    jnp.floor((ox + tm * dxq + half) * n), 0, n - 1
-                ).astype(_I32)
-                cy = jnp.clip(
-                    jnp.floor((oy + tm * dyq + half) * n), 0, n - 1
-                ).astype(_I32)
-                geo.append((seg_ok, cx, cy, ray))
-            bits = fetch_multi(
-                vol, k_plane, [(cx, cy) for _, cx, cy, _ in geo], x0w
-            )
-            gz_i = z0 + k_plane
-            gzf = z0f + k_plane
-            for q, ((seg_ok, cx, cy, ray), bit) in enumerate(zip(geo, bits)):
-                sl = slice(q * SUB, (q + 1) * SUB)
-                ox, oy, oz, dxq, dyq, dzq = ray[:6]
-                cand = (
-                    seg_ok
-                    & (bit == 1)
-                    & ~((cx + cy * n + gz_i * (n * n)) == exid[sl])
-                )
-                # Visible-cube intersection, shadow accept rule
-                # (wgsl:669: tn ≤ tf ∧ tn ≥ 0).
                 inv_dx = 1.0 / dxq
                 inv_dy = 1.0 / dyq
                 inv_dz = 1.0 / dzq
-                ccx = (cx.astype(_F32) + 0.5) * inv_n - half
-                ccy = (cy.astype(_F32) + 0.5) * inv_n - half
-                ccz = (gzf + 0.5) * inv_n - half
-                t1x = (ccx - cell_half - ox) * inv_dx
-                t2x = (ccx + cell_half - ox) * inv_dx
-                t1y = (ccy - cell_half - oy) * inv_dy
-                t2y = (ccy + cell_half - oy) * inv_dy
-                t1z = (ccz - cell_half - oz) * inv_dz
-                t2z = (ccz + cell_half - oz) * inv_dz
-                tn = jnp.maximum(
-                    jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
-                    jnp.minimum(t1z, t2z),
-                )
-                tf = jnp.minimum(
-                    jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
-                    jnp.maximum(t1z, t2z),
-                )
-                hit = cand & (tn <= tf) & (tn >= 0.0)
-                found_ref[sl] = jnp.where(hit, 1, found_ref[sl])
+                exq = exid[sl]
+                for f in range(8):
+                    fo = f if direction > 0 else 7 - f
+                    k_plane = c_plane * 8 + fo
+                    gz_i = z0 + k_plane
+                    gzf = z0f + k_plane
+                    foundq = found_ref[sl] == 1
+                    ta = (gzf * inv_n - half - oz) * inv_dz
+                    tb = ((gzf + 1.0) * inv_n - half - oz) * inv_dz
+                    lo = jnp.maximum(jnp.minimum(ta, tb), 0.0)
+                    hi = jnp.minimum(jnp.maximum(ta, tb), t1q)
+                    seg_ok = (lo < hi) & ~foundq & pa
+                    tm = 0.5 * (lo + hi)
+                    cx = jnp.clip(
+                        jnp.floor((ox + tm * dxq + half) * n), 0, n - 1
+                    ).astype(_I32)
+                    cy = jnp.clip(
+                        jnp.floor((oy + tm * dyq + half) * n), 0, n - 1
+                    ).astype(_I32)
+                    bit = fetch_one(vol, k_plane, cx, cy, seg_ok, x0w)
+                    cand = (
+                        seg_ok
+                        & (bit == 1)
+                        & ~((cx + cy * n + gz_i * (n * n)) == exq)
+                    )
+                    # Visible-cube intersection, shadow accept rule
+                    # (wgsl:669: tn ≤ tf ∧ tn ≥ 0).
+                    ccx = (cx.astype(_F32) + 0.5) * inv_n - half
+                    ccy = (cy.astype(_F32) + 0.5) * inv_n - half
+                    ccz = (gzf + 0.5) * inv_n - half
+                    t1x = (ccx - cell_half - ox) * inv_dx
+                    t2x = (ccx + cell_half - ox) * inv_dx
+                    t1y = (ccy - cell_half - oy) * inv_dy
+                    t2y = (ccy + cell_half - oy) * inv_dy
+                    t1z = (ccz - cell_half - oz) * inv_dz
+                    t2z = (ccz + cell_half - oz) * inv_dz
+                    tn = jnp.maximum(
+                        jnp.maximum(
+                            jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)
+                        ),
+                        jnp.minimum(t1z, t2z),
+                    )
+                    tf = jnp.minimum(
+                        jnp.minimum(
+                            jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)
+                        ),
+                        jnp.maximum(t1z, t2z),
+                    )
+                    hit = cand & (tn <= tf) & (tn >= 0.0)
+                    found_ref[sl] = jnp.where(hit, 1, found_ref[sl])
 
         # Per-direction scalar gate over ALL queries (the sweep's
         # pass_possible check): shadow rays toward an overhead light are
@@ -566,9 +580,7 @@ def _make_shadow_kernel(n, zext, nq=1, x_words=None):
 
                             @pl.when(((gmask >> j) & 1) != 0)
                             def _(c_plane=c_plane, direction=direction):
-                                for f in range(8):
-                                    fo = f if direction > 0 else 7 - f
-                                    probe_plane(c_plane * 8 + fo, direction)
+                                column_planes(c_plane, direction)
 
         out_occ[:] = found_ref[:]
 
