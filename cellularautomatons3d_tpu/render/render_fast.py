@@ -61,6 +61,10 @@ BW = int(_os.environ.get("CA3D_BW", "256"))
 BH = TILE // BW
 assert BW * BH == TILE
 
+# Sticky any-ray-alive group gating (see _make_traversal.sweep docstring):
+# measured a net loss on the production scenes — opt-in only.
+_ALIVE_GATE = _os.environ.get("CA3D_ALIVE_GATE", "0") == "1"
+
 # cam/params vector layout (f32)
 P_R00 = 0       # view rotation, row-major 3x3 (camera→world)
 P_O = 9         # camera origin xyz
@@ -366,7 +370,8 @@ def _make_traversal(n: int, zext: int | None = None,
 
     def sweep(vol, coarse, coarse2, zrange, refs, rayrefs, cell_half,
               exclude, accept_far: bool, ages=None, age_ref=None,
-              scalar_origin=None, colmask=None, mip1=None, w_ref=None):
+              scalar_origin=None, colmask=None, mip1=None, w_ref=None,
+              alive_ref=None):
         """Two-direction coarse→fine DDA, fully unrolled.
 
         The coarse-column loop is a *python* loop: every plane index — and
@@ -406,9 +411,23 @@ def _make_traversal(n: int, zext: int | None = None,
         range (slab-local) plus the slab's global z offset, all runtime
         scalars.  Chunked traversals (x_words < n/32) carry the brick's
         x word offset in ``zrange[3]``.
+
+        ``alive_ref``: optional (1,) i32 SMEM scratch enabling the sticky
+        any-ray-alive gate (CA3D_ALIVE_GATE=1; default OFF — measured a
+        net LOSS on the real workload): within one direction pass
+        aliveness (pass-active ∧ ¬found) only ever decreases, so once a
+        descended group's post-latch fold finds no lane alive, later
+        groups skip at a pure SMEM-scalar test.  Measured r05 on the
+        gen-230 dense scene: 24.84 → 26.39 ms, pinned gen-85 ≈ +1.2 ms —
+        the scene is a ~10%-density sponge, rays stay alive across most
+        groups, and the extra fold per descended group never pays
+        (bench_out/r05_dense_alivegate.txt).  Kept as an opt-in for
+        genuinely solid scenes.
         """
         found_ref, t_ref, hx_ref, hy_ref, hz_ref = refs
         r_ox, r_oy, r_oz, r_dx, r_dy, r_dz, r_t0, r_t1, r_flags = rayrefs
+        if not _ALIVE_GATE:
+            alive_ref = None  # see docstring: measured net loss, opt-in
         z0 = zrange[2]
         z0f = z0.astype(_F32)
         if chunked:
@@ -768,6 +787,8 @@ def _make_traversal(n: int, zext: int | None = None,
             pass_possible = pass_dir_active(ray0, direction) & ~(
                 found_ref[:] == 1
             )
+            if alive_ref is not None:
+                alive_ref[0] = _I32(1)
 
             @pl.when(_any(pass_possible))
             def _(direction=direction):
@@ -779,10 +800,12 @@ def _make_traversal(n: int, zext: int | None = None,
                     lo_c, hi_c = min(cols), max(cols)
 
                     # Scalar gates: global occupied z-range, the tile's
-                    # folded column-mask bits (primary), and (secondary
+                    # folded column-mask bits (primary), (secondary
                     # sweeps) columns fully behind the rays' start for
-                    # this direction.
+                    # this direction, and the sticky alive scalar.
                     gate = (zmax >= lo_c) & (zmin <= hi_c)
+                    if alive_ref is not None:
+                        gate = gate & (alive_ref[0] != 0)
                     if tile_mask is not None:
                         gate = gate & (((tile_mask >> lo_c) & 0xF) != 0)
                     if smin_c is not None:
@@ -840,6 +863,15 @@ def _make_traversal(n: int, zext: int | None = None,
                         @pl.when(_any(descend))
                         def _(cols=cols, direction=direction):
                             group_body(cols, direction)
+                            if alive_ref is not None:
+                                # Latching only happens in descended
+                                # groups — refresh the sticky scalar here
+                                # (fresh loads, the no-spill discipline).
+                                rayu = load_ray()
+                                alive_u = pass_dir_active(
+                                    rayu, direction
+                                ) & ~(found_ref[:] == 1)
+                                alive_ref[0] = _any(alive_u).astype(_I32)
 
         return found_ref[:] == 1, t_ref[:], hx_ref[:], hy_ref[:], hz_ref[:]
 
@@ -1022,6 +1054,7 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
         rest = rest[19:]
         age_ref = rest.pop(0) if age_bits else None
         w_ref = rest.pop(0) if use_slicegate else None
+        alive_ref = rest.pop(0)  # (1,) i32 SMEM: sticky any-alive scalar
         rayrefs = (r_ox, r_oy, r_oz, r_dx, r_dy, r_dz, r_t0, r_t1, r_flags)
         t = pl.program_id(0)
         nbx = (width + BW - 1) // BW
@@ -1197,6 +1230,7 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
                 rayrefs, cell_half, None, True, ages=ages, age_ref=age_ref,
                 scalar_origin=(cam[P_O], cam[P_O + 1], cam[P_O + 2]),
                 colmask=colmask, mip1=mip1, w_ref=w_ref,
+                alive_ref=alive_ref,
             )
         out_depth[:] = jnp.where(found, t_hit, tf_miss)
         out_idx[:] = jnp.where(
@@ -1214,7 +1248,7 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
             occluded, _, _, _, _ = sweep(
                 vol, coarse, coarse2, zrange, (f_b, t_b, hx_b, hy_b, hz_b),
                 rayrefs, cell_half, (hx_a, hy_a, hz_a), False, mip1=mip1,
-                w_ref=w_ref,
+                w_ref=w_ref, alive_ref=alive_ref,
             )
             occl = jnp.where(occluded, jnp.float32(0.0095), jnp.float32(1.0))
 
@@ -1312,16 +1346,18 @@ def _make_kernel(n: int, shadow: bool, width: int, height: int,
         hist_out[1][:] = lg
         hist_out[2][:] = lb
 
-        # Presentation: gamma + left-half depth overlay (wgsl:880-888).
-        inv_g = 1.0 / cam[P_GAMMA]
-        pres_r = jnp.power(lr, inv_g)
-        pres_g = jnp.power(lg, inv_g)
-        pres_b = jnp.power(lb, inv_g)
+        # Presentation: left-half depth overlay, THEN gamma — the wgsl
+        # overwrites `out` with the depth view and gamma-corrects the
+        # result (wgsl:880-888), as render_frame_fast does.
         ovm = (cam[P_OVERLAY] == 1.0) & (uxf < 0.5)
         depth_val = out_depth[:]
-        out_r[:] = jnp.where(ovm, depth_val, pres_r)
-        out_g[:] = jnp.where(ovm, 0.0, pres_g)
-        out_b[:] = jnp.where(ovm, 0.0, pres_b)
+        base_r = jnp.where(ovm, depth_val, lr)
+        base_g = jnp.where(ovm, 0.0, lg)
+        base_b = jnp.where(ovm, 0.0, lb)
+        inv_g = 1.0 / cam[P_GAMMA]
+        out_r[:] = jnp.power(base_r, inv_g)
+        out_g[:] = jnp.power(base_g, inv_g)
+        out_b[:] = jnp.power(base_b, inv_g)
 
     return kernel
 
@@ -1514,6 +1550,7 @@ def raytrace_tiles(
     if use_slicegate:
         # Per-plane prefetched words for descend_gated (8 planes/column).
         scratch.append(pltpu.VMEM((8 * SUB, LANE), jnp.uint32))
+    scratch.append(pltpu.SMEM((1,), jnp.int32))  # sticky any-alive scalar
     # Default SUB=256 fits Mosaic's 16 MiB scoped-vmem cap; tile-size
     # experiments (CA3D_SUB=512 doubles every tile ref) need it raised —
     # v5e has 128 MiB, and this kernel streams only the pixel blocks.

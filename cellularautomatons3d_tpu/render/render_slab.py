@@ -124,19 +124,37 @@ class SlabGroup(NamedTuple):
     zrs: jax.Array          # i32 [S, 3|4] (zmin, zmax, z0[, x0w])
 
 
-def _scan_bricks(group: SlabGroup, call, merge, init, extra=None):
+def _scan_bricks(group: SlabGroup, call, merge, init, extra=None,
+                 carry_to_call=False, reverse=None):
     """Run ``call(vol2d, col, c2, zrange, extra_slice)`` for every brick
     of a group, folding results with ``merge(acc, outs)``.  Single-brick
     groups call directly (no scan machinery); larger groups scan so the
-    kernel is traced once."""
+    kernel is traced once.
+
+    ``carry_to_call``: also pass the running accumulator to ``call`` as
+    the keyword ``acc`` — the cross-brick ray-progress carry (best-t /
+    already-occluded masks) that lets later bricks deactivate finished
+    rays instead of re-tracing every ray per brick.
+
+    ``reverse``: optional traced bool — iterate the brick stack in
+    reverse order (elementwise select between the stack and its flip;
+    the copy is a few MB of HBM traffic, ~0.1 ms).  With the carry this
+    orders bricks front-to-back for the dominant ray direction, which is
+    what makes the carry actually deactivate rays early."""
     xs = (group.vols, group.cols, group.c2s, group.zrs)
     if extra is not None:
         xs = xs + (extra,)
     if group.vols.shape[0] == 1:
-        return merge(init, call(*(x[0] for x in xs)))
+        kw = {"acc": init} if carry_to_call else {}
+        return merge(init, call(*(x[0] for x in xs), **kw))
+    if reverse is not None:
+        xs = tuple(jnp.where(
+            jnp.reshape(reverse, (1,) * a.ndim), jnp.flip(a, 0), a
+        ) for a in xs)
 
     def body(acc, x):
-        return merge(acc, call(*x)), None
+        kw = {"acc": acc} if carry_to_call else {}
+        return merge(acc, call(*x, **kw)), None
 
     acc, _ = jax.lax.scan(body, init, xs)
     return acc
@@ -274,13 +292,16 @@ def _make_primary_kernel(n, zext, width, height, age_bits, x_words=None):
     def kernel(cam, zrange, vol, coarse, coarse2, *rest):
         rest = list(rest)
         ages = rest.pop(0) if age_bits else None
+        best = rest.pop(0)  # running min-t over earlier bricks (carry)
         out_t, out_idx = rest[:2]
         rest = rest[2:]
         out_age = rest.pop(0) if age_bits else None
         (f_a, t_a, hx_a, hy_a, hz_a,
          r_ox, r_oy, r_oz, r_dx, r_dy, r_dz, r_t0, r_t1,
          r_flags) = rest[:14]
-        age_ref = rest[14] if age_bits else None
+        rest = rest[14:]
+        age_ref = rest.pop(0) if age_bits else None
+        alive_ref = rest.pop(0)  # (1,) i32 SMEM: sticky any-alive scalar
         rayrefs = (r_ox, r_oy, r_oz, r_dx, r_dy, r_dz, r_t0, r_t1, r_flags)
 
         dx, dy, dz, onscreen = _pixel_rays_kernel(cam, width, height)
@@ -298,7 +319,15 @@ def _make_primary_kernel(n, zext, width, height, age_bits, x_words=None):
         ny_, fy_ = slab(oy, dy)
         nz_, fz_ = slab(oz, dz)
         tn = jnp.maximum(jnp.maximum(nx_, ny_), nz_)
-        tf = jnp.minimum(jnp.minimum(fx_, fy_), fz_)
+        # Cross-brick ray-progress carry: a hit from an earlier brick at
+        # t = best bounds this brick's search window — any hit found here
+        # at t ≥ best would lose the strict `<` min-t merge anyway, so
+        # clamping t_end to it is exact (ties between distinct cells are
+        # discarded by the merge in both orderings).  With front-to-back
+        # brick order (see raytrace_sliced's `reverse`), rays latched by
+        # earlier bricks go fully inactive and whole tiles skip their
+        # direction passes at the `pass_possible` fold.
+        tf = jnp.minimum(jnp.minimum(jnp.minimum(fx_, fy_), fz_), best[:])
         active = (tn <= tf) & (tf >= 0.0) & onscreen
         t_start = jnp.maximum(tn, 0.0)
 
@@ -310,6 +339,7 @@ def _make_primary_kernel(n, zext, width, height, age_bits, x_words=None):
             vol, coarse, coarse2, zrange, (f_a, t_a, hx_a, hy_a, hz_a),
             rayrefs, cell_half, None, True, ages=ages, age_ref=age_ref,
             scalar_origin=(cam[P_O + 0], cam[P_O + 1], cam[P_O + 2]),
+            alive_ref=alive_ref,
         )
         out_t[:] = t_hit
         out_idx[:] = jnp.where(
@@ -317,6 +347,54 @@ def _make_primary_kernel(n, zext, width, height, age_bits, x_words=None):
         )
         if out_age is not None:
             out_age[:] = age_ref[:]
+
+    return kernel
+
+
+def _make_shadow_kernel_sweep(n, zext, x_words=None):
+    """Single-query occlusion sweep: one kernel instance per (query,
+    screen-tile) pair, running the fused sweep machinery
+    (`_make_traversal`) end to end — group/column OR-fold gates, ray
+    state in VMEM refs, componentwise hit-cell exclusion (out-of-range
+    excluded coords can never equal an in-range probe coord, so the
+    reference's clamp quirk needs no sentinel here).
+
+    This is the round-3 shadow kernel, restored as the ``nq == 1`` path:
+    the multi-query kernel's amortization (one traversal serving ≤4
+    queries per tile) only pays when there ARE multiple queries — for
+    plain hard-shadow frames (one query) its per-query unrolled probe
+    geometry is pure overhead, and the round-4 rewrite routing nq=1
+    through it regressed the 512³ sliced frame 58.3 → 72.3 ms.
+
+    No mip1 prefilter here: occlusion launches are BATCHED (soft
+    shadows, GI slots) and the prefilter doubles each sweep's traced
+    graph, which pushed the two-bounce XLA program past reasonable
+    compile bounds.
+    """
+    sweep, _, _ = _make_traversal(n, zext, 0, x_words)
+    inv_n = 1.0 / n
+
+    def kernel(cam, zrange, sx, sy, sz, dx, dy, dz, t1, exx, exy, exz, act,
+               occ_prev, vol, coarse, coarse2, out_occ,
+               f_b, t_b, hx_b, hy_b, hz_b,
+               r_ox, r_oy, r_oz, r_dx, r_dy, r_dz, r_t0, r_t1, r_flags,
+               alive_ref):
+        rayrefs = (r_ox, r_oy, r_oz, r_dx, r_dy, r_dz, r_t0, r_t1, r_flags)
+        cell_half = inv_n * cam[P_CELLMUL] * 0.5
+        # Cross-brick carry: rays an earlier brick already occluded are
+        # inactive here (the OR-composite makes any further hit
+        # redundant) — fully-resolved tiles then skip both direction
+        # passes at the sweep's pass_possible fold.
+        _store_ray(
+            rayrefs, sx[:], sy[:], sz[:], dx[:], dy[:], dz[:],
+            jnp.zeros((SUB, LANE), _F32), t1[:],
+            (act[:] == 1) & (occ_prev[:] == 0),
+        )
+        occluded, _, _, _, _ = sweep(
+            vol, coarse, coarse2, zrange, (f_b, t_b, hx_b, hy_b, hz_b),
+            rayrefs, cell_half, (exx, exy, exz), False, alive_ref=alive_ref,
+        )
+        out_occ[:] = occluded.astype(_I32)
 
     return kernel
 
@@ -343,9 +421,10 @@ def _make_shadow_kernel(n, zext, nq=1, x_words=None):
     lives in the stacked input/scratch blocks — query q owns sublane
     rows [q·SUB, (q+1)·SUB).  A column executes when ANY query's probes
     flag it; per-query ``seg_ok`` masks keep exactness unchanged.
-    Exclusion uses the packed-id form (render_fast.sweep's probe_fine:
-    out-of-range excluded coords — the reference's clamp quirk can
-    yield x == n — produce ids no probe cell can match).
+    Exclusion uses the packed-id form with a -1 sentinel for
+    out-of-range excluded coords (the reference's clamp quirk can yield
+    x == n, which would otherwise alias the packed id of a REAL cell):
+    see shadow_occlusion_batch's exid packing.
     """
     _, fetch_one, _ = _make_traversal(n, zext, 0, x_words)
     w_words = n // 32
@@ -361,7 +440,7 @@ def _make_shadow_kernel(n, zext, nq=1, x_words=None):
     from .render_fast import _bcast_row, _fetch_coarse_bit_impl
 
     def kernel(cam, zrange, sx, sy, sz, dx, dy, dz, t1, exid, act,
-               vol, coarse, coarse2, out_occ, found_ref):
+               occ_prev, vol, coarse, coarse2, out_occ, found_ref):
         cell_half = inv_n * cam[P_CELLMUL] * 0.5
         z0 = zrange[2]
         z0f = z0.astype(_F32)
@@ -384,20 +463,36 @@ def _make_shadow_kernel(n, zext, nq=1, x_words=None):
 
         def load_q(q):
             """Query q's ray, re-read from the input refs (fresh loads in
-            every conditional region — the sweep's no-spill discipline)."""
+            every conditional region — the sweep's no-spill discipline).
+
+            Two steepness flags, matching the fused sweep's convention
+            (render_fast.py:201-202): the 3-point supercolumn probe on the
+            one-block-dilated coarse2 is conservative-exact only for
+            |dxy/dz| <= 1 (render_fast.py:1465-1468), so ``steep_super``
+            (threshold 1, ray[9]) must force supercolumn descent; the
+            x-dilated per-column probe is exact to |dxy/dz| <= 2, so
+            ``steep_col`` (threshold 2, ray[8]) gates the column level.
+            Using the threshold-2 flag at the supercolumn level let
+            shadow/GI rays with slope in (1, 2] skip occupied column
+            groups — light leaks (round-4 advisor finding)."""
             sl = slice(q * SUB, (q + 1) * SUB)
             dxq, dyq, dzq = dx[sl], dy[sl], dz[sl]
             adx, ady, adz = jnp.abs(dxq), jnp.abs(dyq), jnp.abs(dzq)
-            steep = (adx > 2.0 * adz) | (ady > 2.0 * adz)
+            steep_col = (adx > 2.0 * adz) | (ady > 2.0 * adz)
+            steep_super = (adx > adz) | (ady > adz)
             return (
                 sx[sl], sy[sl], sz[sl], dxq, dyq, dzq, t1[sl],
-                act[sl] == 1, steep,
+                act[sl] == 1, steep_col, steep_super,
             )
 
         def pass_act(ray, direction):
             return ray[7] & ((ray[5] > 0) if direction > 0 else (ray[5] < 0))
 
-        found_ref[:] = jnp.zeros((nq * SUB, LANE), _I32)
+        # Cross-brick carry: seed the found flags from earlier bricks'
+        # occlusion — every per-query gate (seg_ok & ~foundq) then treats
+        # already-occluded rays as latched, and fully-resolved tiles die
+        # at the per-direction scalar folds below.
+        found_ref[:] = occ_prev[:]
 
         # Start-column gating over ALL queries (sweep's smin_c/smax_c):
         # columns entirely behind every query's start along the pass
@@ -494,9 +589,11 @@ def _make_shadow_kernel(n, zext, nq=1, x_words=None):
 
         # Per-direction scalar gate over ALL queries (the sweep's
         # pass_possible check): shadow rays toward an overhead light are
-        # almost all dz > 0 — one fold kills the whole -z pass.
+        # almost all dz > 0 — one fold kills the whole -z pass.  Rays
+        # already occluded by earlier bricks (the carry) drop out here
+        # too: a fully-resolved tile skips both passes outright.
         dzs = dz[:]
-        actv_all = act[:] == 1
+        actv_all = (act[:] == 1) & (found_ref[:] == 0)
         dir_any = {
             1: _or_fold_scalar((actv_all & (dzs > 0)).astype(_I32)) != 0,
             -1: _or_fold_scalar((actv_all & (dzs < 0)).astype(_I32)) != 0,
@@ -527,7 +624,7 @@ def _make_shadow_kernel(n, zext, nq=1, x_words=None):
                         pa = pass_act(ray, direction)
                         foundq = found_ref[q * SUB : (q + 1) * SUB] == 1
                         ox, oy, oz, dxq, dyq, dzq, t1q = ray[:7]
-                        steep = ray[8]
+                        steep = ray[9]
                         inv_dz = 1.0 / dzq
                         ta = ((z0f + lo_c * 8) * inv_n - half - oz) * inv_dz
                         tb = (
@@ -536,7 +633,7 @@ def _make_shadow_kernel(n, zext, nq=1, x_words=None):
                         lo_t = jnp.maximum(jnp.minimum(ta, tb), 0.0)
                         hi_t = jnp.minimum(jnp.maximum(ta, tb), t1q)
                         seg2 = (lo_t < hi_t) & ~foundq & pa
-                        occ2 = steep & seg2
+                        occ2 = steep & seg2  # steep = steep_super (ray[9])
                         for tp in (lo_t, 0.5 * (lo_t + hi_t), hi_t):
                             bxc = jnp.floor(
                                 (ox + tp * dxq + half) * nbk
@@ -897,6 +994,85 @@ def prep_slabs(vol, bricks, grid_size, x_words=None):
     ]
 
 
+def _shadow_occlusion_sweep(cam, queries, prepped, n, width, height,
+                            tiles, tb, interpret, blocked):
+    """Sweep-kernel occlusion: one `_make_shadow_kernel_sweep` instance
+    per (query, tile), inputs stacked QUERY-major.  The nq == 1 (and
+    CA3D_OCC_SWEEP=1 attribution) backend of `shadow_occlusion_batch` —
+    same contract."""
+    nq = len(queries)
+    blk_i32 = jax.ShapeDtypeStruct((nq * tiles * SUB, LANE), jnp.int32)
+    out_spec = pl.BlockSpec((SUB, LANE), lambda t: (t, 0))
+    ray_scratch = [
+        pltpu.VMEM((SUB, LANE), jnp.float32) for _ in range(8)
+    ] + [pltpu.VMEM((SUB, LANE), jnp.int32)]  # r_flags
+
+    cols = [[] for _ in range(11)]
+    for start, target, excl, active in queries:
+        sd = target - start
+        sd = sd * jax.lax.rsqrt(jnp.sum(sd * sd, axis=-1, keepdims=True))
+        e1 = (-0.5 - start) / sd
+        e2 = (0.5 - start) / sd
+        sh_tf = jnp.min(jnp.maximum(e1, e2), axis=-1)
+        parts = [
+            tb(start[..., 0]),
+            tb(start[..., 1]),
+            tb(start[..., 2]),
+            tb(sd[..., 0], fill=1),
+            tb(sd[..., 1], fill=1),
+            tb(sd[..., 2], fill=1),
+            tb(sh_tf),
+            tb(excl[..., 0], fill=-1),
+            tb(excl[..., 1], fill=-1),
+            tb(excl[..., 2], fill=-1),
+            tb(active.astype(jnp.int32)),
+        ]
+        for c, p in zip(cols, parts):
+            c.append(p)
+    args = [jnp.concatenate(c, axis=0) for c in cols]
+
+    occluded = jnp.zeros((nq * tiles * SUB, LANE), jnp.int32)
+    for group in prepped:
+        kernel = _make_shadow_kernel_sweep(n, group.zext, group.xw)
+
+        def call(vol2d, col, c2, zrange, acc=None, kernel=kernel):
+            def run():
+                return pl.pallas_call(
+                    kernel,
+                    grid=(nq * tiles,),
+                    out_shape=blk_i32,
+                    in_specs=(
+                        [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+                        + [pl.BlockSpec((SUB, LANE), lambda t: (t, 0))] * 12
+                        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+                    ),
+                    out_specs=out_spec,
+                    scratch_shapes=[
+                        pltpu.VMEM((SUB, LANE), jnp.int32),
+                        pltpu.VMEM((SUB, LANE), jnp.float32),
+                        pltpu.VMEM((SUB, LANE), jnp.int32),
+                        pltpu.VMEM((SUB, LANE), jnp.int32),
+                        pltpu.VMEM((SUB, LANE), jnp.int32),
+                    ] + list(ray_scratch)
+                    + [pltpu.SMEM((1,), jnp.int32)],  # sticky any-alive
+                    interpret=interpret,
+                    compiler_params=_SLAB_PARAMS,
+                )(cam, zrange, *args, acc, vol2d, col, c2)
+
+            # Empty bricks occlude nothing (OR-neutral) — skip the launch.
+            return jax.lax.cond(
+                _brick_nonempty(zrange), run,
+                lambda: jnp.zeros((nq * tiles * SUB, LANE), jnp.int32),
+            )
+
+        occluded = _scan_bricks(group, call, lambda a, occ: a | occ,
+                                occluded, carry_to_call=True)
+    per_q = occluded.reshape(nq, tiles * SUB, LANE)
+    if blocked:
+        return [per_q[i] == 1 for i in range(nq)]
+    return [_from_blocks(per_q[i], width, height) == 1 for i in range(nq)]
+
+
 def shadow_occlusion_batch(cam, queries, prepped, *, grid_size, width,
                            height, interpret=False, blocked=False):
     """Cell-exact occlusion for a BATCH of per-pixel ray queries.
@@ -910,6 +1086,14 @@ def shadow_occlusion_batch(cam, queries, prepped, *, grid_size, width,
     secondary sweeps down to two shared traversals.  Inputs stack
     tile-major (tile t's block holds its nq query slabs contiguously).
     Returns list of bool [H, W] occlusion masks (ORed over slabs).
+
+    Kernel selection: single-query batches (plain hard-shadow frames)
+    run the sweep-based `_make_shadow_kernel_sweep` — the multi-query
+    kernel's shared-traversal amortization is pure overhead at nq=1 and
+    regressed the 512³ frame ~24% in round 4.  CA3D_OCC_SWEEP=1 forces
+    the sweep kernel for ALL batches (one instance per query × tile, no
+    sharing — perf attribution); CA3D_OCC_NQ1_SWEEP=0 forces nq=1
+    through the multi-query kernel (ditto).
     """
     n = grid_size
     nq = len(queries)
@@ -945,6 +1129,15 @@ def shadow_occlusion_batch(cam, queries, prepped, *, grid_size, width,
         def tb(x, fill=0):
             return _to_blocks(x, width, height, fill=fill)
 
+    use_sweep = _os.environ.get("CA3D_OCC_SWEEP", "0") == "1" or (
+        nq == 1 and _os.environ.get("CA3D_OCC_NQ1_SWEEP", "1") == "1"
+    )
+    if use_sweep:
+        return _shadow_occlusion_sweep(
+            cam, queries, prepped, n, width, height, tiles, tb, interpret,
+            blocked,
+        )
+
     cols = [[] for _ in range(9)]
     for start, target, excl, active in queries:
         sd = target - start
@@ -952,7 +1145,17 @@ def shadow_occlusion_batch(cam, queries, prepped, *, grid_size, width,
         e1 = (-0.5 - start) / sd
         e2 = (0.5 - start) / sd
         sh_tf = jnp.min(jnp.maximum(e1, e2), axis=-1)
-        exid = excl[..., 0] + excl[..., 1] * n + excl[..., 2] * (n * n)
+        # Packed exclusion id.  Out-of-range coords get the -1 sentinel:
+        # naive packing aliases, e.g. x == n packs to the same id as the
+        # REAL cell (0, y+1, z) and would wrongly exclude that occluder
+        # (the old componentwise compare could never match; round-4
+        # advisor finding).  Probe ids are always >= 0, so -1 never hits.
+        in_range = jnp.all((excl >= 0) & (excl < n), axis=-1)
+        exid = jnp.where(
+            in_range,
+            excl[..., 0] + excl[..., 1] * n + excl[..., 2] * (n * n),
+            -1,
+        )
         parts = [
             tb(start[..., 0]),
             tb(start[..., 1]),
@@ -977,7 +1180,7 @@ def shadow_occlusion_batch(cam, queries, prepped, *, grid_size, width,
     for group in prepped:
         kernel = _make_shadow_kernel(n, group.zext, nq, group.xw)
 
-        def call(vol2d, col, c2, zrange, kernel=kernel):
+        def call(vol2d, col, c2, zrange, acc=None, kernel=kernel):
             def run():
                 return pl.pallas_call(
                     kernel,
@@ -985,7 +1188,7 @@ def shadow_occlusion_batch(cam, queries, prepped, *, grid_size, width,
                     out_shape=blk_i32,
                     in_specs=(
                         [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
-                        + [qblock] * 9
+                        + [qblock] * 10
                         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
                     ),
                     out_specs=qblock,
@@ -994,15 +1197,17 @@ def shadow_occlusion_batch(cam, queries, prepped, *, grid_size, width,
                     ],
                     interpret=interpret,
                     compiler_params=_SLAB_PARAMS,
-                )(cam, zrange, *args, vol2d, col, c2)
+                )(cam, zrange, *args, acc, vol2d, col, c2)
 
             # Empty bricks occlude nothing (OR-neutral) — skip the launch.
+            # (OR-merge of `acc` makes the carried bits idempotent.)
             return jax.lax.cond(
                 _brick_nonempty(zrange), run,
                 lambda: jnp.zeros((tiles * nq * SUB, LANE), jnp.int32),
             )
 
-        occluded = _scan_bricks(group, call, lambda a, occ: a | occ, occluded)
+        occluded = _scan_bricks(group, call, lambda a, occ: a | occ,
+                                occluded, carry_to_call=True)
     per_q = occluded.reshape(tiles, nq, SUB, LANE).transpose(1, 0, 2, 3)
     per_q = per_q.reshape(nq, tiles * SUB, LANE)
     if blocked:
@@ -1584,6 +1789,12 @@ def raytrace_sliced(
     t_hit = jnp.full((tiles * SUB, LANE), jnp.inf, jnp.float32)
     idx = jnp.full((tiles * SUB, LANE), -1, jnp.int32)
     age_blk = jnp.zeros((tiles * SUB, LANE), jnp.int32) if age_bits else None
+    # Front-to-back brick order for the dominant view direction: the
+    # stacks are built in ascending z; for a -z-dominant camera iterate
+    # them reversed (traced select in _scan_bricks) so the best-t carry
+    # deactivates latched rays as early as possible.
+    dz_center = -cam[P_R00 + 8]
+    brick_reverse = dz_center < 0.0
     for group in groups:
         kernel = _make_primary_kernel(
             n, group.zext, width, height, age_bits, group.xw
@@ -1611,11 +1822,14 @@ def raytrace_sliced(
             out_specs.append(out_spec)
             scratch.append(pltpu.VMEM((SUB, LANE), jnp.int32))  # age_ref
             extra = _age_stack(group)
+        # Cross-brick best-t carry (see the kernel's clamp note).
+        in_specs.append(pl.BlockSpec((SUB, LANE), lambda t: (t, 0)))
+        scratch.append(pltpu.SMEM((1,), jnp.int32))  # sticky any-alive
 
-        def call(vol2d, col, c2, zrange, *rest, kernel=kernel,
+        def call(vol2d, col, c2, zrange, *rest, acc=None, kernel=kernel,
                  in_specs=in_specs, out_shape=out_shape,
                  out_specs=out_specs, scratch=scratch, group=group):
-            inputs = [cam, zrange, vol2d, col, c2] + list(rest)
+            inputs = [cam, zrange, vol2d, col, c2] + list(rest) + [acc[0]]
 
             def run():
                 return tuple(
@@ -1659,7 +1873,8 @@ def raytrace_sliced(
             return new
 
         init = (t_hit, idx) + ((age_blk,) if age_bits else ())
-        merged = _scan_bricks(group, call, merge, init, extra=extra)
+        merged = _scan_bricks(group, call, merge, init, extra=extra,
+                              carry_to_call=True, reverse=brick_reverse)
         t_hit, idx = merged[0], merged[1]
         if age_bits:
             age_blk = merged[2]

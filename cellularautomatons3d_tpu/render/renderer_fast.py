@@ -394,14 +394,16 @@ def _ext_frame_blocked(s: RenderStatic, vis, cam, hist_blk, ages,
 
     new_hist = (out[..., 0], out[..., 1], out[..., 2], idx)
 
+    # Depth overlay BEFORE gamma (wgsl:880-888 overwrites `out`, then
+    # presentation = pow(out, 1/gamma)) — matching render_frame_fast.
     px, _, _ = blocked_pixels(w, h)
     ux = (px.astype(jnp.float32) + 0.5) / cam[P_WIN]
     overlay = (cam[P_OVERLAY] == 1.0) & (ux < 0.5)
-    pres = jnp.power(out, 1.0 / cam[P_GAMMA])
     overlay_rgb = jnp.stack(
         [depth, jnp.zeros_like(depth), jnp.zeros_like(depth)], axis=-1
     )
-    pres = jnp.where(overlay[..., None], overlay_rgb, pres)
+    out = jnp.where(overlay[..., None], overlay_rgb, out)
+    pres = jnp.power(out, 1.0 / cam[P_GAMMA])
     return pres, new_hist
 
 

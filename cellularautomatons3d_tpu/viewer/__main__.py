@@ -12,8 +12,17 @@ def main():
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--height", type=int, default=480)
     p.add_argument("--preset", type=str, default=None)
+    p.add_argument(
+        "--mesh", type=int, default=0, metavar="N",
+        help="shard the engine over an N-device 1-D mesh (config 5: "
+        "z-sharded CA step + row-sharded render).  On a TPU-less host, "
+        "combine with JAX_PLATFORMS=cpu "
+        "XLA_FLAGS=--xla_force_host_platform_device_count=N",
+    )
     args = p.parse_args()
     overrides = dict(grid_size=args.grid, width=args.width, height=args.height)
+    if args.mesh:
+        overrides["mesh_devices"] = args.mesh
     if args.preset:
         from ..models.presets import PRESETS
 

@@ -53,6 +53,8 @@ FIELDS = [
     ("born_corners", "born rules corners", "text", {"restart": True}),
     ("survive_corners", "survive rules corners", "text", {"restart": True}),
     ("total_states", "total states", "int", {"min": 2, "max": 16, "restart": True}),
+    # Parallelism (BASELINE config 5): 0 = single device, N = 1-D mesh.
+    ("mesh_devices", "mesh devices", "int", {"min": 0, "max": 64, "restart": True}),
     ("gamma", "1 / gamma", "float", {"min": 1.0, "max": 5.0}),
     ("pipeline", "pipeline", "select", {"options": ["fast", "reference"]}),
     ("render_variant", "render variant", "select",
