@@ -506,9 +506,11 @@ def _make_traversal(n: int, zext: int | None = None,
                 )
             elif exclude is not None:
                 # Packed-id form (x + y·n + z·n²): one scratch ref instead
-                # of three.  Out-of-range excluded coords (the reference's
-                # clamp quirk can yield x == n) produce ids no probe cell
-                # can match — same semantics as the component compare.
+                # of three.  CALLER CONTRACT: out-of-range excluded coords
+                # must be packed as the -1 sentinel — naive packing
+                # aliases (x == n packs to the id of the REAL cell
+                # (0, y+1, z)), unlike the component compare above which
+                # can never match out-of-range coords.
                 cand = cand & ~(
                     (cx + cy * n + gz * (n * n)) == exclude[0][:]
                 )

@@ -1087,13 +1087,16 @@ def shadow_occlusion_batch(cam, queries, prepped, *, grid_size, width,
     tile-major (tile t's block holds its nq query slabs contiguously).
     Returns list of bool [H, W] occlusion masks (ORed over slabs).
 
-    Kernel selection: single-query batches (plain hard-shadow frames)
-    run the sweep-based `_make_shadow_kernel_sweep` — the multi-query
-    kernel's shared-traversal amortization is pure overhead at nq=1 and
-    regressed the 512³ frame ~24% in round 4.  CA3D_OCC_SWEEP=1 forces
-    the sweep kernel for ALL batches (one instance per query × tile, no
-    sharing — perf attribution); CA3D_OCC_NQ1_SWEEP=0 forces nq=1
-    through the multi-query kernel (ditto).
+    Kernel selection: per-query SWEEP kernels
+    (`_make_shadow_kernel_sweep`, one instance per query × tile) are the
+    DEFAULT for every batch size — measured round 5: the multi-query
+    kernel's per-query unrolled probe geometry costs more than the fixed
+    machinery it shares (full-GI 8-query frame 121.4 ms vs 92.8 with
+    independent sweeps in round 3; 512³ nq=1 frame 72.3 → 52.0 after
+    the switch; bench_out/r05_scale.txt, r05_512_ablate.txt).
+    CA3D_OCC_SWEEP=0 opts nq>1 batches back into the shared-traversal
+    multi-query kernel (perf attribution); CA3D_OCC_NQ1_SWEEP=0
+    additionally forces nq=1 through it.
     """
     n = grid_size
     nq = len(queries)
@@ -1129,7 +1132,7 @@ def shadow_occlusion_batch(cam, queries, prepped, *, grid_size, width,
         def tb(x, fill=0):
             return _to_blocks(x, width, height, fill=fill)
 
-    use_sweep = _os.environ.get("CA3D_OCC_SWEEP", "0") == "1" or (
+    use_sweep = _os.environ.get("CA3D_OCC_SWEEP", "1") == "1" or (
         nq == 1 and _os.environ.get("CA3D_OCC_NQ1_SWEEP", "1") == "1"
     )
     if use_sweep:

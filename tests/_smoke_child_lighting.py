@@ -75,9 +75,13 @@ def main():
     kw = dict(grid_size=N, width=W, height=H, interpret=True,
               soft_k=1, gi=True, gi_slot=jnp.int32(1))
 
+    # Force the shared-traversal MULTI-QUERY kernel (production default
+    # is per-query sweep kernels since the round-5 measurement) …
+    os.environ["CA3D_OCC_SWEEP"] = "0"
     occl, gi = lighting_passes(
         cam, q, origin, coords, found, prepped, **kw
     )
+    # … then the default per-query sweep path.
     os.environ["CA3D_OCC_SWEEP"] = "1"
     occl1, gi1 = lighting_passes(
         cam, q, origin, coords, found, prepped, **kw

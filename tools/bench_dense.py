@@ -70,6 +70,7 @@ def main():
 
     shadow = _os.environ.get("CA3D_BD_SHADOW", "1") == "1"
     no_sweep = _os.environ.get("CA3D_BD_NOSWEEP", "0") == "1"
+    prepass = _os.environ.get("CA3D_PREPASS", "0") == "1"
 
     @jax.jit
     def run(st, hist):
@@ -79,6 +80,7 @@ def main():
                 st, coarse_occupancy(st), cam, None, h,
                 grid_size=GRID, width=WIDTH, height=HEIGHT,
                 shadow=shadow, _debug_no_sweep=no_sweep,
+                use_prepass=prepass,
             )
             pr, pg, pb, d, idx, nr, ng, nb = outs
             return (nr, ng, nb, idx), (pr, pg, pb)
@@ -96,6 +98,7 @@ def main():
         "value": round(ms, 3), "unit": "ms", "population": pop,
         "slicegate": _os.environ.get("CA3D_SLICEGATE", "0"),
         "mip1": _os.environ.get("CA3D_MIP1", "0"),
+        "prepass": prepass,
         "shadow": shadow, "no_sweep": no_sweep,
         "device": str(jax.devices()[0]),
     }))
